@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark harness: SVGD steps/sec on the headline config.
+
+Headline config (BASELINE.md config 1): MarginalDiBS + BGe score, d=20
+Erdős–Rényi linear-Gaussian ground truth, 30 particles — the reference
+marginal notebook setup (/root/reference/examples/dibs_marginal.ipynb).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
+
+``vs_baseline`` is the speedup over the CPU baseline (this framework executed
+on host CPU — the reference cannot run here because igraph is uninstallable;
+SURVEY.md §6). The CPU number is measured once and cached in
+BASELINE_MEASURED.json; pass ``--baseline`` to (re)measure it.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BASELINE_MEASURED.json")
+
+N_VARS = 20
+N_PARTICLES = 30
+N_OBS = 100
+
+
+def build_state_and_step():
+    import jax
+    from jax import random
+
+    from dibs_tpu.inference import MarginalDiBS
+    from dibs_tpu.target import make_linear_gaussian_equivalent_model
+
+    key = random.PRNGKey(123)
+    key, subk = random.split(key)
+    data, graph_model, lik_model = make_linear_gaussian_equivalent_model(
+        key=subk, n_vars=N_VARS, graph_prior_str="er", n_observations=N_OBS,
+        n_ho_observations=N_OBS,
+    )
+    dibs = MarginalDiBS(
+        x=data.x, graph_model=graph_model, likelihood_model=lik_model
+    )
+    key, subk = random.split(key)
+    state = dibs.init_state(key=subk, n_particles=N_PARTICLES)
+    step_fn = dibs._make_step(dibs._resolve_latent_std(N_VARS))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames="n_steps")
+    def run_chunk(st, n_steps):
+        return jax.lax.fori_loop(0, n_steps, lambda _, s: step_fn(s), st)
+
+    return state, run_chunk
+
+
+def measure_steps_per_sec(chunk_steps=100, repeats=3):
+    import jax
+
+    state, run_chunk = build_state_and_step()
+    # compile + warmup
+    state = run_chunk(state, n_steps=chunk_steps)
+    jax.block_until_ready(state.z)
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state = run_chunk(state, n_steps=chunk_steps)
+        jax.block_until_ready(state.z)
+        times.append(time.perf_counter() - t0)
+    return chunk_steps / min(times)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--baseline", action="store_true",
+                        help="measure and cache the CPU baseline")
+    parser.add_argument("--chunk-steps", type=int, default=100)
+    args = parser.parse_args()
+
+    if args.baseline:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        sps = measure_steps_per_sec(chunk_steps=min(args.chunk_steps, 25),
+                                    repeats=2)
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"cpu_steps_per_sec": sps,
+                       "config": f"marginal_bge_d{N_VARS}_p{N_PARTICLES}"}, f)
+        print(json.dumps({"metric": "cpu_baseline_steps_per_sec", "value": sps,
+                          "unit": "steps/sec", "vs_baseline": 1.0}))
+        return
+
+    sps = measure_steps_per_sec(chunk_steps=args.chunk_steps)
+
+    vs_baseline = None
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            vs_baseline = sps / json.load(f)["cpu_steps_per_sec"]
+    else:
+        # measure the CPU baseline in a subprocess (forces JAX_PLATFORMS=cpu)
+        try:
+            env = dict(os.environ, JAX_PLATFORMS="cpu")
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--baseline"],
+                env=env, check=True, capture_output=True, timeout=1200,
+            )
+            with open(BASELINE_CACHE) as f:
+                vs_baseline = sps / json.load(f)["cpu_steps_per_sec"]
+        except Exception:
+            vs_baseline = 1.0
+
+    print(json.dumps({
+        "metric": f"svgd_steps_per_sec_marginal_bge_d{N_VARS}_p{N_PARTICLES}",
+        "value": round(sps, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

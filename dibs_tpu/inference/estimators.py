@@ -1,0 +1,254 @@
+"""DiBS gradient-estimator core — pure functions over particles.
+
+Behavioral spec: /root/reference/dibs/inference/dibs.py:232-658. The reference
+implements these as methods on a stateful class; here they are closures built
+once by :func:`make_estimators` from a static config and the two model
+callables, so the whole SVGD step traces into a single XLA program.
+
+TPU-native differences from the reference:
+  * the reparameterization and Θ estimators evaluate ``log p`` and its
+    gradient in one pass via ``jax.value_and_grad`` (the reference runs the
+    forward twice: dibs.py:439+447, :518+525);
+  * the acyclicity constraint gradient goes through the closed-form custom
+    VJP in :mod:`dibs_tpu.ops.acyclic` (one extra matmul instead of a
+    product-rule chain through ``matrix_power``);
+  * the EMA-baseline branch resolves at trace time (``score_function_baseline``
+    is static) instead of a runtime ``lax.cond``.
+
+Estimator math (identical to the reference):
+
+    ∇ log E_{p(G|Z)}[p(Θ, D | G)]
+        = E[p(G|Z') ∇(...)] / E[p(G|Z)]      (self-normalized ratio)
+
+computed with the *same* MC samples in numerator and denominator through a
+signed ``logsumexp`` for stability.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import random, vmap
+from jax.scipy.special import logsumexp
+from jax.tree_util import tree_map
+
+from dibs_tpu.ops.acyclic import acyclic_constr
+from dibs_tpu.ops.edges import (
+    edge_probs,
+    latent_log_prob,
+    particle_to_soft_graph,
+    sample_g,
+)
+from dibs_tpu.utils.func import expand_by
+
+__all__ = ["EstimatorConfig", "Estimators", "make_estimators", "stable_ratio_grad"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EstimatorConfig:
+    """Static hyperparameters of the DiBS gradient estimators.
+
+    Field meanings and defaults mirror the reference constructor
+    (dibs.py:51-78); the asymmetric Marginal/Joint defaults live in the API
+    classes, not here.
+    """
+
+    alpha_linear: float = 0.05
+    beta_linear: float = 1.0
+    tau: float = 1.0
+    n_grad_mc_samples: int = 128
+    n_acyclicity_mc_samples: int = 32
+    grad_estimator_z: str = "reparam"  # 'score' | 'reparam'
+    score_function_baseline: float = 0.0
+    latent_prior_std: Optional[float] = None
+
+    def alpha(self, t):
+        """Linear inverse-temperature schedule of the edge-prob sigmoid."""
+        return self.alpha_linear * t
+
+    def beta(self, t):
+        """Linear schedule of the acyclicity-penalty weight."""
+        return self.beta_linear * t
+
+
+class Estimators(NamedTuple):
+    """Bundle of batched (over particles) estimator callables."""
+
+    eltwise_grad_z_likelihood: Callable
+    eltwise_grad_theta_likelihood: Callable
+    eltwise_grad_latent_prior: Callable
+
+
+def stable_ratio_grad(log_num: jnp.ndarray, log_den: jnp.ndarray, grads: Any):
+    """Self-normalized MC ratio ``E[w ∇]/E[w]`` in signed log-space, per leaf.
+
+    Args:
+        log_num: ``[M]`` numerator log-weights (possibly baseline-adjusted)
+        log_den: ``[M]`` denominator log-weights
+        grads: pytree whose leaves have leading MC dim ``M``
+
+    Returns:
+        pytree of ``grads`` with the MC dim contracted.
+
+    The ``1/M`` factors of numerator and denominator cancel (same sample
+    count), matching the reference's explicit ``- log M + log M``
+    (dibs.py:382).
+    """
+    log_z = logsumexp(log_den, axis=0)
+
+    def per_leaf(leaf):
+        lse, sign = logsumexp(
+            a=expand_by(log_num, leaf.ndim - 1), b=leaf, axis=0, return_sign=True
+        )
+        return sign * jnp.exp(lse - log_z)
+
+    return tree_map(per_leaf, grads)
+
+
+def make_estimators(
+    *,
+    cfg: EstimatorConfig,
+    log_graph_prior: Callable,
+    log_joint_prob: Callable,
+    x: jnp.ndarray,
+    interv_mask: jnp.ndarray,
+) -> Estimators:
+    """Builds the batched estimator callables for fixed data and models.
+
+    Args:
+        cfg: static estimator hyperparameters
+        log_graph_prior: ``soft_g [d, d] -> scalar`` graph-prior log-density
+            (evaluated on edge probabilities; must be differentiable)
+        log_joint_prob: ``(g, theta, x, interv_mask, rng) -> scalar`` — joint
+            likelihood for joint inference or marginal likelihood (ignoring
+            ``theta``) for marginal inference
+        x: ``[N, d]`` observations (closed over; static across the run)
+        interv_mask: ``[N, d]`` intervention indicators
+    """
+
+    # --- Z-likelihood score: REINFORCE (dibs.py:325-391) ---
+
+    def grad_z_score(single_z, single_theta, sf_baseline, t, key):
+        alpha = cfg.alpha(t)
+        p = edge_probs(single_z, alpha)
+
+        key, k_g = random.split(key)
+        g_samples = sample_g(p, k_g, cfg.n_grad_mc_samples)
+
+        key, k_lik = random.split(key)
+        logprobs = vmap(
+            lambda g: log_joint_prob(g, single_theta, x, interv_mask, k_lik)
+        )(g_samples)
+
+        if cfg.score_function_baseline > 0.0:
+            log_num = logprobs - sf_baseline
+        else:
+            log_num = logprobs
+
+        # REINFORCE direction: ∇_Z log p(G | Z) per MC graph sample
+        grad_z = vmap(jax.grad(latent_log_prob, 1), (0, None, None))(
+            g_samples, single_z, alpha
+        )
+        grad_est = stable_ratio_grad(log_num, logprobs, grad_z)
+
+        c = cfg.score_function_baseline
+        new_baseline = c * logprobs.mean(0) + (1 - c) * sf_baseline
+        return grad_est, new_baseline
+
+    # --- Z-likelihood score: Gumbel-softmax reparameterization (dibs.py:395-459) ---
+
+    def grad_z_reparam(single_z, single_theta, sf_baseline, t, key):
+        alpha = cfg.alpha(t)
+        d = single_z.shape[0]
+
+        key, k_eps = random.split(key)
+        eps = random.logistic(k_eps, shape=(cfg.n_grad_mc_samples, d, d))
+        key, k_lik = random.split(key)
+
+        def soft_logprob(z, e):
+            soft_g = particle_to_soft_graph(z, e, alpha, cfg.tau)
+            return log_joint_prob(soft_g, single_theta, x, interv_mask, k_lik)
+
+        # one fused forward+backward per MC sample
+        logprobs, grads = vmap(
+            jax.value_and_grad(soft_logprob, 0), (None, 0), (0, 0)
+        )(single_z, eps)
+
+        grad_est = stable_ratio_grad(logprobs, logprobs, grads)
+        return grad_est, sf_baseline
+
+    grad_z_fns = {"score": grad_z_score, "reparam": grad_z_reparam}
+    if cfg.grad_estimator_z not in grad_z_fns:
+        raise ValueError(f"Unknown gradient estimator `{cfg.grad_estimator_z}`")
+    grad_z_single = grad_z_fns[cfg.grad_estimator_z]
+
+    def eltwise_grad_z_likelihood(zs, thetas, baselines, t, keys):
+        """``[P, d, k, 2] -> ([P, d, k, 2], [P])`` batched over particles."""
+        return vmap(grad_z_single, (0, 0, 0, None, 0), (0, 0))(
+            zs, thetas, baselines, t, keys
+        )
+
+    # --- Θ-likelihood score (dibs.py:467-551) ---
+
+    def grad_theta_single(single_z, single_theta, t, key):
+        alpha = cfg.alpha(t)
+        p = edge_probs(single_z, alpha)
+        g_samples = sample_g(p, key, cfg.n_grad_mc_samples)
+
+        key, k_lik = random.split(key)
+        logprobs, grads = vmap(
+            jax.value_and_grad(
+                lambda g, th: log_joint_prob(g, th, x, interv_mask, k_lik), 1
+            ),
+            (0, None),
+            (0, 0),
+        )(g_samples, single_theta)
+
+        return stable_ratio_grad(logprobs, logprobs, grads)
+
+    def eltwise_grad_theta_likelihood(zs, thetas, t, keys):
+        """Pytree of Θ-gradients with leading particle dim."""
+        return vmap(grad_theta_single, (0, 0, None, 0), 0)(zs, thetas, t, keys)
+
+    # --- Z-prior score (dibs.py:557-658) ---
+
+    def grad_constraint_single(single_z, key, t):
+        """Reparam gradient of ``E_{p(G|Z)}[h(G)]`` via Gumbel-softmax samples."""
+        alpha = cfg.alpha(t)
+        d = single_z.shape[0]
+        eps = random.logistic(key, shape=(cfg.n_acyclicity_mc_samples, d, d))
+
+        def soft_h(z, e):
+            soft_g = particle_to_soft_graph(z, e, alpha, cfg.tau)
+            return acyclic_constr(soft_g, d)
+
+        grads = vmap(jax.grad(soft_h, 0), (None, 0), 0)(single_z, eps)
+        return grads.mean(0)
+
+    def log_graph_prior_particle(single_z, t):
+        """Graph prior evaluated on the particle's edge-probability matrix."""
+        soft_g = edge_probs(single_z, cfg.alpha(t))
+        return log_graph_prior(soft_g=soft_g)
+
+    def eltwise_grad_latent_prior(zs, keys, t, latent_prior_std):
+        """Batched score of ``log p(Z)``:
+
+        ``-beta(t) E[∇h] - Z / sigma_z^2 + ∇ log f(Z)``
+        """
+        grad_prior_z = vmap(jax.grad(log_graph_prior_particle, 0), (0, None), 0)(
+            zs, t
+        )
+        grad_constraint = vmap(grad_constraint_single, (0, 0, None), 0)(zs, keys, t)
+        return (
+            -cfg.beta(t) * grad_constraint
+            - zs / (latent_prior_std**2.0)
+            + grad_prior_z
+        )
+
+    return Estimators(
+        eltwise_grad_z_likelihood=eltwise_grad_z_likelihood,
+        eltwise_grad_theta_likelihood=eltwise_grad_theta_likelihood,
+        eltwise_grad_latent_prior=eltwise_grad_latent_prior,
+    )

@@ -1,0 +1,146 @@
+"""SVGD transport: kernel-weighted gradient ascent + repulsion.
+
+The SVGD update for particle ``i`` out of ``P`` is
+
+    phi_i = (1/P) * sum_m [ k(v_m, v_i) * ∇ log p(v_m) + ∇_{v_m} k(v_m, v_i) ]
+
+(Liu & Wang 2016; reference: /root/reference/dibs/inference/svgd.py:194-224,
+591-670). The reference computes both terms with a nested
+``vmap``-of-``vmap``-of-``grad`` over particle pairs. On TPU we lower the
+whole transport to Gram matmuls instead:
+
+  * driver term:     ``K^T @ G``                  (one ``[P, P] @ [P, n]`` matmul)
+  * SE repulsion:    ``c * (K^T @ V - colsum(K) ⊙ V)``  (one more matmul)
+
+using the closed form ``∇_x k(x, y) = c * k(x, y) * (x - y)`` of the squared
+exponential family. The fast path engages when the kernel exposes
+``matrix``/``grad_factor_*`` (see :mod:`dibs_tpu.kernel`); arbitrary
+user kernels with only the reference ``eval`` signature fall back to the
+autodiff path, which reproduces the reference computation exactly.
+
+Returned transports are *negated* so a minimizing optimizer ascends the
+target, same convention as the reference (svgd.py:216).
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import grad, vmap
+from jax.tree_util import tree_map
+
+__all__ = [
+    "marginal_transport",
+    "joint_transport",
+]
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _flat(a: jnp.ndarray) -> jnp.ndarray:
+    return a.reshape(a.shape[0], -1)
+
+
+def _driver(k_mat: jnp.ndarray, grads: jnp.ndarray) -> jnp.ndarray:
+    """``sum_m K[m, i] * grads[m]`` for all ``i`` — one MXU matmul."""
+    return jnp.matmul(k_mat.T, _flat(grads), precision=_HI).reshape(grads.shape)
+
+
+def _se_repulsion(k_mat: jnp.ndarray, factor, values: jnp.ndarray) -> jnp.ndarray:
+    """``sum_m ∇_{v_m} k(v_m, v_i) = factor * (K^T V - colsum(K) ⊙ V)``."""
+    vf = _flat(values)
+    colsum = k_mat.sum(axis=0)
+    rep = factor * (jnp.matmul(k_mat.T, vf, precision=_HI) - colsum[:, None] * vf)
+    return rep.reshape(values.shape)
+
+
+# --------------------------------------------------------------------------
+# Fast (closed-form SE) paths
+# --------------------------------------------------------------------------
+
+
+def marginal_transport(kernel, z: jnp.ndarray, dz: jnp.ndarray) -> jnp.ndarray:
+    """Transport ``phi_z`` for Z-only SVGD. Fast path if the kernel supports it."""
+    n_particles = z.shape[0]
+    if hasattr(kernel, "matrix") and hasattr(kernel, "grad_factor_z"):
+        k_mat = kernel.matrix(z, z)
+        phi = _driver(k_mat, dz) + _se_repulsion(k_mat, kernel.grad_factor_z(), z)
+        return -phi / n_particles
+    return _marginal_transport_autodiff(kernel, z, dz)
+
+
+def joint_transport(
+    kernel, z: jnp.ndarray, theta: Any, dz: jnp.ndarray, dtheta: Any
+) -> Tuple[jnp.ndarray, Any]:
+    """Transports ``(phi_z, phi_theta)`` for joint (Z, Θ) SVGD."""
+    n_particles = z.shape[0]
+    if hasattr(kernel, "component_matrices"):
+        k_z, k_t = kernel.component_matrices(z, theta, z, theta)
+        k_mat = k_z + k_t
+
+        phi_z = _driver(k_mat, dz) + _se_repulsion(k_z, kernel.grad_factor_z(), z)
+        phi_z = -phi_z / n_particles
+
+        c_t = kernel.grad_factor_theta()
+        phi_theta = tree_map(
+            lambda g_leaf, v_leaf: -(
+                _driver(k_mat, g_leaf) + _se_repulsion(k_t, c_t, v_leaf)
+            )
+            / n_particles,
+            dtheta,
+            theta,
+        )
+        return phi_z, phi_theta
+    return _joint_transport_autodiff(kernel, z, theta, dz, dtheta)
+
+
+# --------------------------------------------------------------------------
+# Generic autodiff fallbacks (reference-equivalent, any kernel with .eval)
+# --------------------------------------------------------------------------
+
+
+def _marginal_transport_autodiff(kernel, z, dz):
+    f_kernel = lambda a, b: kernel.eval(x=a, y=b)
+    k_mat = vmap(vmap(f_kernel, (None, 0)), (0, None))(z, z)
+
+    def phi_single(single_z, kxx_col):
+        weighted = kxx_col[:, None, None, None] * dz
+        repulsion = vmap(grad(f_kernel, 0), (0, None))(z, single_z)
+        return -(weighted + repulsion).mean(axis=0)
+
+    return vmap(phi_single, (0, 1))(z, k_mat)
+
+
+def _joint_transport_autodiff(kernel, z, theta, dz, dtheta):
+    f_kernel = lambda az, at, bz, bt: kernel.eval(
+        x_latent=az, x_theta=at, y_latent=bz, y_theta=bt
+    )
+    k_mat = vmap(vmap(f_kernel, (None, None, 0, 0)), (0, 0, None, None))(
+        z, theta, z, theta
+    )
+
+    def phi_z_single(single_z, single_theta, kxx_col):
+        weighted = kxx_col[:, None, None, None] * dz
+        repulsion = vmap(grad(f_kernel, 0), (0, 0, None, None))(
+            z, theta, single_z, single_theta
+        )
+        return -(weighted + repulsion).mean(axis=0)
+
+    def phi_theta_single(single_z, single_theta, kxx_col):
+        weighted = tree_map(
+            lambda leaf: kxx_col.reshape((-1,) + (1,) * (leaf.ndim - 1)) * leaf,
+            dtheta,
+        )
+        repulsion = vmap(grad(f_kernel, 1), (0, 0, None, None))(
+            z, theta, single_z, single_theta
+        )
+        return tree_map(
+            lambda w_leaf, r_leaf: -(w_leaf + r_leaf).mean(axis=0),
+            weighted,
+            repulsion,
+        )
+
+    phi_z = vmap(phi_z_single, (0, 0, 1))(z, theta, k_mat)
+    phi_theta = vmap(phi_theta_single, (0, 0, 1))(z, theta, k_mat)
+    return phi_z, phi_theta

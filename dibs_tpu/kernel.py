@@ -1,0 +1,106 @@
+"""SVGD kernels with MXU-native batched evaluation.
+
+Behavioral spec: /root/reference/dibs/kernel.py. The reference evaluates the
+kernel pairwise through nested ``vmap`` and obtains repulsion gradients by
+autodiff per particle pair (svgd.py:165-192, 554-588). For the squared
+exponential family both the kernel matrix and its gradients have closed
+forms that reduce to Gram matmuls:
+
+    k(Z, Z')          = scale * exp(-||Z - Z'||_F^2 / h)
+    ∇_Z k(Z, Z')      = -(2 / h) * k(Z, Z') * (Z - Z')
+
+so the ``[P, P]`` kernel matrix is one ``[P, n] @ [n, P]`` matmul plus a
+fused exp, and the summed repulsion term of the SVGD transport becomes a
+second matmul (see :mod:`dibs_tpu.inference.svgd`). Bandwidths are fixed
+constants, exactly like the reference (no median heuristic by default).
+
+Custom kernels remain supported: any object with the reference's ``eval``
+signature works through the engine's autodiff fallback path; the fast path
+engages when the kernel provides the ``*_matrix`` methods defined here.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from dibs_tpu.utils.func import pytree_sq_norm_matrix, squared_norm_pytree
+
+__all__ = ["AdditiveFrobeniusSEKernel", "JointAdditiveFrobeniusSEKernel"]
+
+
+class AdditiveFrobeniusSEKernel:
+    """Squared-exponential kernel over latent particles ``Z``.
+
+    ``k(Z, Z') = scale * exp(-||Z - Z'||_F^2 / h)``
+    (class default ``h=20``; :class:`~dibs_tpu.inference.MarginalDiBS`
+    overrides to ``h=5`` — same asymmetry as the reference, svgd.py:81 vs
+    kernel.py:16).
+    """
+
+    def __init__(self, *, h=20.0, scale=1.0):
+        self.h = h
+        self.scale = scale
+
+    def eval(self, *, x, y):
+        """Single-pair kernel value (reference-compatible signature)."""
+        return self.scale * jnp.exp(-jnp.sum((x - y) ** 2.0) / self.h)
+
+    def matrix(self, xs, ys):
+        """Pairwise kernel matrix ``[A, B]`` via the Gram-form distance matrix
+        (one MXU matmul; no ``A*B`` pairwise materialization)."""
+        sq = pytree_sq_norm_matrix(xs, ys)
+        return self.scale * jnp.exp(-sq / self.h)
+
+    def grad_factor_z(self):
+        """Scalar ``c`` such that ``∇_x k(x, y) = c * k(x, y) * (x - y)``."""
+        return -2.0 / self.h
+
+
+class JointAdditiveFrobeniusSEKernel:
+    """Additive SE kernel over ``(Z, Θ)`` particle pairs.
+
+    ``k((Z, Θ), (Z', Θ')) = scale_z * exp(-||Z - Z'||^2 / h_z)
+                           + scale_θ * exp(-||Θ - Θ'||^2 / h_θ)``
+
+    The two addends have disjoint dependencies, so the Z-repulsion only
+    involves the latent term and the Θ-repulsion only the theta term; the
+    engine therefore asks for the two component matrices separately.
+    """
+
+    def __init__(self, *, h_latent=5.0, h_theta=500.0, scale_latent=1.0,
+                 scale_theta=1.0):
+        self.h_latent = h_latent
+        self.h_theta = h_theta
+        self.scale_latent = scale_latent
+        self.scale_theta = scale_theta
+
+    def eval(self, *, x_latent, x_theta, y_latent, y_theta):
+        """Single-pair kernel value (reference-compatible signature)."""
+        latent_sq = jnp.sum((x_latent - y_latent) ** 2.0)
+        theta_sq = squared_norm_pytree(x_theta, y_theta)
+        return (
+            self.scale_latent * jnp.exp(-latent_sq / self.h_latent)
+            + self.scale_theta * jnp.exp(-theta_sq / self.h_theta)
+        )
+
+    def component_matrices(self, x_latents, x_thetas, y_latents, y_thetas):
+        """Returns ``(K_z, K_theta)`` pairwise component matrices ``[A, B]``."""
+        k_z = self.scale_latent * jnp.exp(
+            -pytree_sq_norm_matrix(x_latents, y_latents) / self.h_latent
+        )
+        k_t = self.scale_theta * jnp.exp(
+            -pytree_sq_norm_matrix(x_thetas, y_thetas) / self.h_theta
+        )
+        return k_z, k_t
+
+    def matrix(self, x_latents, x_thetas, y_latents, y_thetas):
+        """Full pairwise kernel matrix ``K_z + K_theta``."""
+        k_z, k_t = self.component_matrices(x_latents, x_thetas, y_latents, y_thetas)
+        return k_z + k_t
+
+    def grad_factor_z(self):
+        """``c`` with ``∇_{Z} k = c * K_z ⊙ (Z - Z')`` (latent term only)."""
+        return -2.0 / self.h_latent
+
+    def grad_factor_theta(self):
+        """``c`` with ``∇_{Θ} k = c * K_θ ⊙ (Θ - Θ')`` (theta term only)."""
+        return -2.0 / self.h_theta

@@ -1,0 +1,80 @@
+"""Multi-chip scale-out over a ``jax.sharding.Mesh``.
+
+The reference is single-process, single-device; its only parallelism is vmap
+(/root/reference — SURVEY.md §2.4). Here the particle axis — the
+embarrassingly-parallel axis of SVGD — is sharded across a device mesh. The
+per-particle gradient estimation (the dominant cost:
+``n_particles * n_grad_mc_samples`` likelihood evaluations and gradients per
+step) then runs fully parallel across chips; only the ``[P, P]`` kernel
+matrix / transport couples particles, and XLA materializes exactly the
+all-gathers it needs for the small flattened particle tensors over ICI.
+
+Design: GSPMD-style — we annotate shardings (`NamedSharding` over a
+``('p',)`` mesh axis on the particle dimension) and let the XLA partitioner
+insert collectives, rather than hand-writing shard_map + psum. The SVGD state
+is a pytree, so sharding it is a single ``device_put``.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_particle_mesh",
+    "particle_sharding",
+    "shard_state",
+    "make_constraint",
+]
+
+PARTICLE_AXIS = "p"
+
+
+def make_particle_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices with axis name ``'p'``."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (PARTICLE_AXIS,))
+
+
+def particle_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding that splits the leading (particle) axis across the mesh."""
+    return NamedSharding(mesh, P(PARTICLE_AXIS))
+
+
+def _leaf_spec(sharding: NamedSharding, leaf) -> NamedSharding:
+    """Shard the leading axis if divisible, else replicate the leaf."""
+    mesh = sharding.mesh
+    n_dev = mesh.devices.size
+    if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] % n_dev == 0 \
+            and leaf.shape[0] > 0:
+        return NamedSharding(mesh, P(PARTICLE_AXIS))
+    return NamedSharding(mesh, P())
+
+
+def shard_state(state: Any, sharding: NamedSharding) -> Any:
+    """Device-puts an SVGD state pytree with particle-axis sharding.
+
+    Leaves whose leading dim is not divisible by the mesh size (e.g. the
+    scalar step counter or PRNG key) are replicated.
+    """
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, _leaf_spec(sharding, leaf)), state
+    )
+
+
+def make_constraint(sharding: NamedSharding):
+    """Returns a pytree-wide ``with_sharding_constraint`` for particle-major
+    tensors, used inside the jitted SVGD step to pin intermediate layouts."""
+
+    def constrain(tree):
+        return jax.tree_util.tree_map(
+            lambda leaf: jax.lax.with_sharding_constraint(
+                leaf, _leaf_spec(sharding, leaf)
+            ),
+            tree,
+        )
+
+    return constrain

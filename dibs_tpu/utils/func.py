@@ -1,0 +1,101 @@
+"""Primitive array/pytree utilities for the TPU-native DiBS framework.
+
+Functional parity targets (reference, for behavioral spec only — see
+/root/reference/dibs/utils/func.py):
+  - ``zero_diagonal``    (func.py:117-125)
+  - ``expand_by``        (func.py:8-18)
+  - ``squared_norm_pytree`` (func.py:100-114)
+  - ``masked_slogdet``   (func.py:128-145, reference name ``_slogdet_jax``)
+
+All functions here are pure, jit-compatible, and shape-polymorphic over
+leading batch dimensions where documented.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.tree_util import tree_map, tree_reduce
+
+
+def expand_by(arr: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Appends ``n`` singleton dimensions at the end of ``arr``.
+
+    Used to broadcast per-sample scalars (e.g. MC log-weights) against pytree
+    leaves of arbitrary rank.
+    """
+    if n == 0:
+        return arr
+    return arr.reshape(arr.shape + (1,) * n)
+
+
+def zero_diagonal(g: jnp.ndarray) -> jnp.ndarray:
+    """Sets the diagonal of the trailing ``[d, d]`` block to zero.
+
+    The DiBS latent graph model never models self-loops, so every edge-prob /
+    adjacency tensor flowing through the framework is diagonal-masked.
+
+    Implemented via an elementwise mask (instead of scatter ``.at[].set``) so
+    XLA fuses it into the producing op — on TPU this avoids a scatter and
+    keeps the surrounding computation a single fused kernel.
+    """
+    d = g.shape[-1]
+    mask = 1 - jnp.eye(d, dtype=g.dtype)
+    return g * mask
+
+
+def squared_norm_pytree(x, y) -> jnp.ndarray:
+    """Squared Euclidean norm ``||x - y||^2`` summed across all pytree leaves."""
+    diff = tree_map(jnp.subtract, x, y)
+    sq = tree_map(lambda leaf: jnp.sum(jnp.square(leaf)), diff)
+    return tree_reduce(jnp.add, sq)
+
+
+def pytree_sq_norm_matrix(xs, ys) -> jnp.ndarray:
+    """Pairwise squared-distance matrix between two batched pytrees.
+
+    Args:
+        xs: pytree with leading batch dim ``A`` on every leaf
+        ys: pytree with leading batch dim ``B`` on every leaf
+
+    Returns:
+        ``[A, B]`` matrix of squared Frobenius distances summed over leaves.
+
+    TPU note: computed per-leaf in Gram-matrix form
+    ``||x||^2 + ||y||^2 - 2 x·y`` so the inner products run on the MXU as a
+    single ``[A, n] @ [n, B]`` matmul per leaf rather than ``A*B`` pairwise
+    subtractions (the reference materializes all pairs via nested vmap,
+    /root/reference/dibs/inference/svgd.py:165-176).
+    """
+
+    def leaf_sqdist(xl, yl):
+        a = xl.reshape(xl.shape[0], -1)
+        b = yl.reshape(yl.shape[0], -1)
+        a_sq = jnp.sum(a * a, axis=-1)
+        b_sq = jnp.sum(b * b, axis=-1)
+        cross = a @ b.T
+        return a_sq[:, None] + b_sq[None, :] - 2.0 * cross
+
+    per_leaf = tree_map(leaf_sqdist, xs, ys)
+    return tree_reduce(jnp.add, per_leaf)
+
+
+def masked_slogdet(m: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Log-determinant of the submatrix of ``m`` selected by boolean ``mask``.
+
+    Stays jit-compilable (static shapes) and grad-differentiable for *soft*
+    (relaxed) masks by replacing the non-selected block with an identity:
+    ``det(M_sel) == det(mask·M + (1-mask)·I)`` where the mask is the outer
+    product of the selector with itself. This is what makes the BGe score
+    differentiable w.r.t. relaxed adjacency entries
+    (behavioral spec: /root/reference/dibs/utils/func.py:128-145).
+
+    Args:
+        m: ``[d, d]`` matrix
+        mask: ``[d]`` (possibly soft) selector
+
+    Returns:
+        scalar ``logdet`` of the masked submatrix
+    """
+    d = mask.shape[-1]
+    outer = mask[..., :, None] * mask[..., None, :]
+    submat = outer * m + (1.0 - outer) * jnp.eye(d, dtype=m.dtype)
+    return jnp.linalg.slogdet(submat)[1]

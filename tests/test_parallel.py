@@ -1,0 +1,77 @@
+"""Multi-device sharding on an 8-device virtual CPU mesh.
+
+Validates (1) that the particle-sharded SVGD step compiles and executes over
+a `jax.sharding.Mesh`, and (2) that sharded results are numerically
+consistent with the single-device run under the same key schedule.
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+from jax import random
+
+from dibs_tpu.inference import JointDiBS, MarginalDiBS
+from dibs_tpu.parallel import make_particle_mesh, particle_sharding, shard_state
+from dibs_tpu.target import make_linear_gaussian_model
+
+
+@pytest.fixture(scope="module")
+def target():
+    return make_linear_gaussian_model(
+        key=random.PRNGKey(0), n_vars=6, graph_prior_str="er",
+        n_observations=40, n_ho_observations=10,
+    )
+
+
+def test_eight_virtual_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_joint_run_matches_unsharded(target):
+    data, graph_model, lik_model = target
+    # ER prior with 2 edges/node is fine at d=6 (p = 12/15 < 1)
+    kwargs = dict(
+        x=data.x, graph_model=graph_model, likelihood_model=lik_model,
+        n_grad_mc_samples=8, n_acyclicity_mc_samples=4,
+    )
+    mesh = make_particle_mesh()
+    sharding = particle_sharding(mesh)
+
+    plain = JointDiBS(**kwargs)
+    gs_a, th_a, st_a = plain.sample(
+        key=random.PRNGKey(1), n_particles=8, steps=10, return_state=True
+    )
+
+    sharded = JointDiBS(**kwargs, sharding=sharding)
+    gs_b, th_b, st_b = sharded.sample(
+        key=random.PRNGKey(1), n_particles=8, steps=10, return_state=True
+    )
+
+    assert jnp.allclose(st_a.z, st_b.z, atol=1e-4)
+    assert jnp.array_equal(gs_a, gs_b)
+
+
+def test_sharded_marginal_run(target):
+    data, graph_model, _ = target
+    from dibs_tpu.models import BGe
+
+    mesh = make_particle_mesh()
+    dibs = MarginalDiBS(
+        x=data.x, graph_model=graph_model, likelihood_model=BGe(n_vars=6),
+        n_grad_mc_samples=8, n_acyclicity_mc_samples=4,
+        sharding=particle_sharding(mesh),
+    )
+    gs = dibs.sample(key=random.PRNGKey(2), n_particles=8, steps=5)
+    assert gs.shape == (8, 6, 6)
+
+
+def test_shard_state_layout(target):
+    data, graph_model, lik_model = target
+    dibs = JointDiBS(
+        x=data.x, graph_model=graph_model, likelihood_model=lik_model,
+    )
+    state = dibs.init_state(key=random.PRNGKey(3), n_particles=16)
+    sharding = particle_sharding(make_particle_mesh())
+    sharded = shard_state(state, sharding)
+    # particle-major leaves are split over the mesh; scalars replicated
+    assert len(sharded.z.sharding.device_set) == 8
+    assert sharded.z.sharding.is_equivalent_to(sharding, sharded.z.ndim)

@@ -1,0 +1,89 @@
+"""The closed-form (Gram-matmul) SVGD transport must equal the generic
+autodiff path — this validates the framework's central TPU optimization."""
+import jax.numpy as jnp
+from jax import random
+
+from dibs_tpu.inference.transport import (
+    _joint_transport_autodiff,
+    _marginal_transport_autodiff,
+    joint_transport,
+    marginal_transport,
+)
+from dibs_tpu.kernel import AdditiveFrobeniusSEKernel, JointAdditiveFrobeniusSEKernel
+
+
+def test_marginal_transport_fast_equals_autodiff():
+    key = random.PRNGKey(0)
+    k1, k2 = random.split(key)
+    z = random.normal(k1, (6, 4, 3, 2))
+    dz = random.normal(k2, (6, 4, 3, 2))
+    kernel = AdditiveFrobeniusSEKernel(h=5.0)
+
+    fast = marginal_transport(kernel, z, dz)
+    slow = _marginal_transport_autodiff(kernel, z, dz)
+    assert jnp.allclose(fast, slow, atol=1e-5), jnp.abs(fast - slow).max()
+
+
+def test_joint_transport_fast_equals_autodiff_array_theta():
+    key = random.PRNGKey(1)
+    k1, k2, k3, k4 = random.split(key, 4)
+    z = random.normal(k1, (5, 4, 3, 2))
+    dz = random.normal(k2, (5, 4, 3, 2))
+    theta = random.normal(k3, (5, 4, 4))
+    dtheta = random.normal(k4, (5, 4, 4))
+    kernel = JointAdditiveFrobeniusSEKernel(h_latent=5.0, h_theta=50.0)
+
+    fast_z, fast_t = joint_transport(kernel, z, theta, dz, dtheta)
+    slow_z, slow_t = _joint_transport_autodiff(kernel, z, theta, dz, dtheta)
+    assert jnp.allclose(fast_z, slow_z, atol=1e-5)
+    assert jnp.allclose(fast_t, slow_t, atol=1e-5)
+
+
+def test_joint_transport_fast_equals_autodiff_pytree_theta():
+    key = random.PRNGKey(2)
+    keys = random.split(key, 6)
+    z = random.normal(keys[0], (4, 3, 2, 2))
+    dz = random.normal(keys[1], (4, 3, 2, 2))
+    theta = [
+        (random.normal(keys[2], (4, 3, 3, 2)), random.normal(keys[3], (4, 3, 2))),
+        (random.normal(keys[4], (4, 3, 2, 1)),),
+    ]
+    dtheta = [
+        (random.normal(keys[3], (4, 3, 3, 2)), random.normal(keys[2], (4, 3, 2))),
+        (random.normal(keys[5], (4, 3, 2, 1)),),
+    ]
+    kernel = JointAdditiveFrobeniusSEKernel(h_latent=5.0, h_theta=500.0)
+
+    fast_z, fast_t = joint_transport(kernel, z, theta, dz, dtheta)
+    slow_z, slow_t = _joint_transport_autodiff(kernel, z, theta, dz, dtheta)
+    assert jnp.allclose(fast_z, slow_z, atol=1e-5)
+    for f_layer, s_layer in zip(fast_t, slow_t):
+        for f_leaf, s_leaf in zip(f_layer, s_layer):
+            assert jnp.allclose(f_leaf, s_leaf, atol=1e-5)
+
+
+def test_kernel_matrix_matches_pairwise_eval():
+    key = random.PRNGKey(3)
+    z = random.normal(key, (5, 3, 2, 2))
+    kernel = AdditiveFrobeniusSEKernel(h=7.0, scale=2.0)
+    mat = kernel.matrix(z, z)
+    for i in range(5):
+        for j in range(5):
+            assert jnp.allclose(
+                mat[i, j], kernel.eval(x=z[i], y=z[j]), atol=1e-5
+            )
+
+
+def test_custom_kernel_falls_back_to_autodiff():
+    """A user kernel with only `.eval` must still work (reference contract)."""
+
+    class MyKernel:
+        def eval(self, *, x, y):
+            return jnp.exp(-jnp.sum(jnp.abs(x - y)) / 10.0)
+
+    key = random.PRNGKey(4)
+    z = random.normal(key, (4, 3, 2, 2))
+    dz = random.normal(key, (4, 3, 2, 2))
+    phi = marginal_transport(MyKernel(), z, dz)
+    assert phi.shape == z.shape
+    assert jnp.isfinite(phi).all()

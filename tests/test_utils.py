@@ -1,0 +1,67 @@
+import jax.numpy as jnp
+import numpy as onp
+import pytest
+from jax import random
+
+from dibs_tpu.utils.func import (
+    expand_by,
+    masked_slogdet,
+    pytree_sq_norm_matrix,
+    squared_norm_pytree,
+    zero_diagonal,
+)
+
+
+def test_expand_by():
+    a = jnp.ones((3, 4))
+    assert expand_by(a, 0).shape == (3, 4)
+    assert expand_by(a, 2).shape == (3, 4, 1, 1)
+
+
+def test_zero_diagonal_batched():
+    key = random.PRNGKey(0)
+    g = random.normal(key, (5, 4, 4))
+    out = zero_diagonal(g)
+    assert jnp.all(out[:, jnp.arange(4), jnp.arange(4)] == 0)
+    mask = 1 - jnp.eye(4)
+    assert jnp.allclose(out, g * mask)
+
+
+def test_squared_norm_pytree():
+    x = {"a": jnp.arange(3.0), "b": (jnp.ones((2, 2)),)}
+    y = {"a": jnp.zeros(3), "b": (jnp.zeros((2, 2)),)}
+    expected = sum(onp.arange(3.0) ** 2) + 4.0
+    assert jnp.allclose(squared_norm_pytree(x, y), expected)
+
+
+def test_pytree_sq_norm_matrix_matches_direct():
+    key = random.PRNGKey(1)
+    k1, k2 = random.split(key)
+    xs = {"w": random.normal(k1, (4, 3, 2)), "b": random.normal(k2, (4, 5))}
+    ys = {"w": random.normal(k2, (6, 3, 2)), "b": random.normal(k1, (6, 5))}
+    mat = pytree_sq_norm_matrix(xs, ys)
+    assert mat.shape == (4, 6)
+    for i in range(4):
+        for j in range(6):
+            direct = squared_norm_pytree(
+                {"w": xs["w"][i], "b": xs["b"][i]},
+                {"w": ys["w"][j], "b": ys["b"][j]},
+            )
+            assert jnp.allclose(mat[i, j], direct, atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_masked_slogdet_vs_dense_submatrix(seed):
+    key = random.PRNGKey(seed)
+    d = 6
+    a = random.normal(key, (d, d))
+    m = a @ a.T + d * jnp.eye(d)  # PD matrix
+    mask = jnp.array([1, 0, 1, 1, 0, 1], dtype=jnp.float32)
+    idx = onp.flatnonzero(onp.asarray(mask))
+    expected = onp.linalg.slogdet(onp.asarray(m)[onp.ix_(idx, idx)])[1]
+    assert jnp.allclose(masked_slogdet(m, mask), expected, atol=1e-4)
+
+
+def test_masked_slogdet_empty_mask():
+    m = jnp.eye(3) * 5.0
+    assert jnp.allclose(masked_slogdet(m, jnp.zeros(3)), 0.0)
