@@ -1,0 +1,185 @@
+"""Full benchmark suite: the five BASELINE.md configs.
+
+Measures post-compilation SVGD steps/sec (``block_until_ready``) and, for the
+quality configs, E-SHD / AUROC against the ground truth. Writes one JSON
+object per config to stdout and (optionally) a results file.
+
+Usage:
+    python benchmarks/run_benchmarks.py                 # all configs
+    python benchmarks/run_benchmarks.py --configs 1 2   # subset
+    python benchmarks/run_benchmarks.py --quality       # also run full-length
+                                                        # runs + metrics
+"""
+import argparse
+import functools
+import json
+import time
+
+import jax
+from jax import random
+
+from dibs_tpu.inference import JointDiBS, MarginalDiBS
+from dibs_tpu.metrics import expected_shd, threshold_metrics
+from dibs_tpu.target import (
+    make_linear_gaussian_equivalent_model,
+    make_linear_gaussian_model,
+    make_nonlinear_gaussian_model,
+)
+
+
+def time_steps_per_sec(dibs, n_particles, chunk=50, repeats=3, key=None):
+    key = key if key is not None else random.PRNGKey(0)
+    state = dibs.init_state(key=key, n_particles=n_particles)
+    step_fn = dibs._make_step(dibs._resolve_latent_std(state.z.shape[2]))
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def run(st, n):
+        return jax.lax.fori_loop(0, n, lambda _, s: step_fn(s), st)
+
+    t0 = time.perf_counter()
+    state = run(state, chunk)
+    jax.block_until_ready(state.z)
+    compile_and_first = time.perf_counter() - t0
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state = run(state, chunk)
+        jax.block_until_ready(state.z)
+        times.append(time.perf_counter() - t0)
+    return chunk / min(times), compile_and_first
+
+
+def config_1(quality):
+    """MarginalDiBS + BGe, d=20 ER linear-Gaussian, 30 particles."""
+    key = random.PRNGKey(123)
+    key, subk = random.split(key)
+    data, gm, lm = make_linear_gaussian_equivalent_model(
+        key=subk, n_vars=20, graph_prior_str="er"
+    )
+    dibs = MarginalDiBS(x=data.x, graph_model=gm, likelihood_model=lm)
+    sps, compile_s = time_steps_per_sec(dibs, 30)
+    out = {"config": "marginal_bge_d20_er_p30", "steps_per_sec": sps,
+           "compile_s": compile_s}
+    if quality:
+        gs = dibs.sample(key=key, n_particles=30, steps=2000)
+        dist = dibs.get_mixture(gs)
+        out["eshd"] = float(expected_shd(dist=dist, g=data.g))
+        out["auroc"] = threshold_metrics(dist=dist, g=data.g)["roc_auc"]
+    return out
+
+
+def config_2(quality):
+    """JointDiBS linear-Gaussian, d=20 scale-free, 30 particles."""
+    key = random.PRNGKey(123)
+    key, subk = random.split(key)
+    data, gm, lm = make_linear_gaussian_model(
+        key=subk, n_vars=20, graph_prior_str="sf"
+    )
+    dibs = JointDiBS(x=data.x, graph_model=gm, likelihood_model=lm)
+    sps, compile_s = time_steps_per_sec(dibs, 30)
+    out = {"config": "joint_lingauss_d20_sf_p30", "steps_per_sec": sps,
+           "compile_s": compile_s}
+    if quality:
+        gs, thetas = dibs.sample(key=key, n_particles=30, steps=2000)
+        dist = dibs.get_mixture(gs, thetas)
+        out["eshd"] = float(expected_shd(dist=dist, g=data.g))
+        out["auroc"] = threshold_metrics(dist=dist, g=data.g)["roc_auc"]
+    return out
+
+
+def config_3(quality):
+    """JointDiBS nonlinear-Gaussian MLP-mean, d=20 (README quick start)."""
+    key = random.PRNGKey(123)
+    key, subk = random.split(key)
+    data, gm, lm = make_nonlinear_gaussian_model(
+        key=subk, n_vars=20, graph_prior_str="sf", hidden_layers=(5,)
+    )
+    dibs = JointDiBS(x=data.x, graph_model=gm, likelihood_model=lm)
+    sps, compile_s = time_steps_per_sec(dibs, 30, chunk=20)
+    out = {"config": "joint_nonlinear_d20_sf_p30", "steps_per_sec": sps,
+           "compile_s": compile_s}
+    if quality:
+        gs, thetas = dibs.sample(key=key, n_particles=30, steps=2000)
+        dist = dibs.get_mixture(gs, thetas)
+        out["eshd"] = float(expected_shd(dist=dist, g=data.g))
+        out["auroc"] = threshold_metrics(dist=dist, g=data.g)["roc_auc"]
+    return out
+
+
+def config_4(quality):
+    """JointDiBS + interventional data, d=30 (hard interventions)."""
+    import jax.numpy as jnp
+
+    from dibs_tpu.ops.ancestral import interv_to_vectors
+
+    key = random.PRNGKey(123)
+    key, subk = random.split(key)
+    data, gm, lm = make_linear_gaussian_model(
+        key=subk, n_vars=30, graph_prior_str="sf"
+    )
+    xs = [data.x]
+    masks = [jnp.zeros_like(data.x, dtype=jnp.int32)]
+    for interv, x_int in data.x_interv[:5]:
+        mask_vec, _ = interv_to_vectors(interv, data.n_vars)
+        xs.append(x_int)
+        masks.append(jnp.broadcast_to(mask_vec.astype(jnp.int32), x_int.shape))
+    x_all = jnp.concatenate(xs, axis=0)
+    interv_mask = jnp.concatenate(masks, axis=0)
+
+    dibs = JointDiBS(
+        x=x_all, interv_mask=interv_mask, graph_model=gm, likelihood_model=lm
+    )
+    sps, compile_s = time_steps_per_sec(dibs, 20, chunk=20)
+    out = {"config": "joint_interv_d30_sf_p20", "steps_per_sec": sps,
+           "compile_s": compile_s}
+    if quality:
+        gs, thetas = dibs.sample(key=key, n_particles=20, steps=2000)
+        dist = dibs.get_mixture(gs, thetas)
+        out["eshd"] = float(expected_shd(dist=dist, g=data.g))
+        out["auroc"] = threshold_metrics(dist=dist, g=data.g)["roc_auc"]
+    return out
+
+
+def config_5(quality, n_particles=1000, n_vars=128):
+    """Scaling: d=128, 1000 particles, joint linear-Gaussian."""
+    del quality  # throughput-only config
+    key = random.PRNGKey(123)
+    key, subk = random.split(key)
+    data, gm, lm = make_linear_gaussian_model(
+        key=subk, n_vars=n_vars, graph_prior_str="sf"
+    )
+    dibs = JointDiBS(
+        x=data.x, graph_model=gm, likelihood_model=lm,
+        n_grad_mc_samples=32, n_acyclicity_mc_samples=8,
+    )
+    sps, compile_s = time_steps_per_sec(dibs, n_particles, chunk=5, repeats=2)
+    return {"config": f"joint_lingauss_d{n_vars}_p{n_particles}_scaling",
+            "steps_per_sec": sps, "compile_s": compile_s}
+
+
+CONFIGS = {1: config_1, 2: config_2, 3: config_3, 4: config_4, 5: config_5}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--configs", type=int, nargs="+",
+                        default=[1, 2, 3, 4, 5])
+    parser.add_argument("--quality", action="store_true")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+
+    results = []
+    for idx in args.configs:
+        res = CONFIGS[idx](args.quality)
+        res["device"] = str(jax.devices()[0])
+        print(json.dumps(res), flush=True)
+        results.append(res)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -169,7 +169,9 @@ class DiBS:
         """Drives the jitted multi-step loop, yielding to ``callback`` between
         chunks (the only host interruptions of the run)."""
 
-        @functools.partial(jax.jit, static_argnames="n_steps")
+        # donate the carry: the optimizer/particle buffers are overwritten in
+        # place instead of copied at every chunk boundary
+        @functools.partial(jax.jit, static_argnames="n_steps", donate_argnums=0)
         def run_chunk(st, n_steps):
             return lax.fori_loop(0, n_steps, lambda _, s: step_fn(s), st)
 

@@ -21,10 +21,29 @@ engages when the kernel provides the ``*_matrix`` methods defined here.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax.tree_util import tree_leaves
 
+from dibs_tpu.ops.pallas_kernels import fused_se_matrix, pallas_enabled
 from dibs_tpu.utils.func import pytree_sq_norm_matrix, squared_norm_pytree
 
 __all__ = ["AdditiveFrobeniusSEKernel", "JointAdditiveFrobeniusSEKernel"]
+
+
+def _flatten_rows(tree) -> jnp.ndarray:
+    """Flattens a batched pytree to ``[batch, n]`` (concat over leaves)."""
+    leaves = tree_leaves(tree)
+    return jnp.concatenate(
+        [leaf.reshape(leaf.shape[0], -1) for leaf in leaves], axis=1
+    )
+
+
+def _se_matrix(xs, ys, h, scale, use_pallas):
+    """SE kernel matrix with automatic Pallas/XLA dispatch."""
+    if use_pallas is None:
+        use_pallas = pallas_enabled()
+    if use_pallas:
+        return fused_se_matrix(_flatten_rows(xs), _flatten_rows(ys), h, scale)
+    return scale * jnp.exp(-pytree_sq_norm_matrix(xs, ys) / h)
 
 
 class AdditiveFrobeniusSEKernel:
@@ -36,19 +55,19 @@ class AdditiveFrobeniusSEKernel:
     kernel.py:16).
     """
 
-    def __init__(self, *, h=20.0, scale=1.0):
+    def __init__(self, *, h=20.0, scale=1.0, use_pallas=None):
         self.h = h
         self.scale = scale
+        self.use_pallas = use_pallas  # None = auto (TPU only)
 
     def eval(self, *, x, y):
         """Single-pair kernel value (reference-compatible signature)."""
         return self.scale * jnp.exp(-jnp.sum((x - y) ** 2.0) / self.h)
 
     def matrix(self, xs, ys):
-        """Pairwise kernel matrix ``[A, B]`` via the Gram-form distance matrix
-        (one MXU matmul; no ``A*B`` pairwise materialization)."""
-        sq = pytree_sq_norm_matrix(xs, ys)
-        return self.scale * jnp.exp(-sq / self.h)
+        """Pairwise kernel matrix ``[A, B]``: fused Pallas kernel on TPU,
+        Gram-form XLA matmul elsewhere."""
+        return _se_matrix(xs, ys, self.h, self.scale, self.use_pallas)
 
     def grad_factor_z(self):
         """Scalar ``c`` such that ``∇_x k(x, y) = c * k(x, y) * (x - y)``."""
@@ -67,11 +86,12 @@ class JointAdditiveFrobeniusSEKernel:
     """
 
     def __init__(self, *, h_latent=5.0, h_theta=500.0, scale_latent=1.0,
-                 scale_theta=1.0):
+                 scale_theta=1.0, use_pallas=None):
         self.h_latent = h_latent
         self.h_theta = h_theta
         self.scale_latent = scale_latent
         self.scale_theta = scale_theta
+        self.use_pallas = use_pallas  # None = auto (TPU only)
 
     def eval(self, *, x_latent, x_theta, y_latent, y_theta):
         """Single-pair kernel value (reference-compatible signature)."""
@@ -84,11 +104,12 @@ class JointAdditiveFrobeniusSEKernel:
 
     def component_matrices(self, x_latents, x_thetas, y_latents, y_thetas):
         """Returns ``(K_z, K_theta)`` pairwise component matrices ``[A, B]``."""
-        k_z = self.scale_latent * jnp.exp(
-            -pytree_sq_norm_matrix(x_latents, y_latents) / self.h_latent
+        k_z = _se_matrix(
+            x_latents, y_latents, self.h_latent, self.scale_latent,
+            self.use_pallas,
         )
-        k_t = self.scale_theta * jnp.exp(
-            -pytree_sq_norm_matrix(x_thetas, y_thetas) / self.h_theta
+        k_t = _se_matrix(
+            x_thetas, y_thetas, self.h_theta, self.scale_theta, self.use_pallas
         )
         return k_z, k_t
 

@@ -26,7 +26,7 @@ from jax.scipy.special import gammaln
 from jax.scipy.stats import norm as jax_normal
 
 from dibs_tpu.ops.ancestral import interv_to_vectors, sample_sem_obs
-from dibs_tpu.utils.func import masked_slogdet
+from dibs_tpu.utils.func import masked_logdet_pd
 
 __all__ = ["BGe", "LinearGaussian"]
 
@@ -122,9 +122,11 @@ class BGe:
             + 0.5 * (self.alpha_lambd - d + 2 * n_parents + 1) * jnp.log(small_t)
         )
 
-        log_term_r = 0.5 * (n + self.alpha_lambd - d + n_parents) * masked_slogdet(
+        # R is PD (T + S_N + PSD rank-1 term), so the masked determinants go
+        # through the pivot-free Cholesky path — the dominant BGe op
+        log_term_r = 0.5 * (n + self.alpha_lambd - d + n_parents) * masked_logdet_pd(
             r, parents
-        ) - 0.5 * (n + self.alpha_lambd - d + n_parents + 1) * masked_slogdet(
+        ) - 0.5 * (n + self.alpha_lambd - d + n_parents + 1) * masked_logdet_pd(
             r, parents_and_j
         )
 

@@ -1,0 +1,131 @@
+"""Pallas TPU kernels for the SVGD hot path.
+
+``fused_se_matrix`` computes the squared-exponential kernel matrix
+
+    K[i, j] = scale * exp(-||x_i - y_j||^2 / h)
+
+as a single fused kernel: the pairwise squared distances accumulate in VMEM
+scratch from tiled Gram matmuls on the MXU (``||x||^2 + ||y||^2 - 2 x·y``
+per feature chunk) and the ``exp`` epilogue is applied in-register before the
+tile is written back — the ``[A, B]`` distance matrix is never materialized
+in HBM. The unfused XLA path (matmul, then broadcast-add, then exp) writes
+and re-reads the distance matrix; for the SVGD engine this kernel is the
+building block that keeps the particle-particle coupling HBM-light at large
+particle counts (BASELINE.md config 5: 1000 particles).
+
+Grid layout: ``(A/BA, B/BB, n/BN)`` with the feature axis innermost so each
+output tile's accumulator lives in VMEM across the whole reduction.
+Inputs are zero-padded to tile multiples (zero padding does not perturb the
+distances of real rows; padded rows are sliced away).
+
+Falls back to the XLA Gram formulation automatically off-TPU; equality of the
+two paths is property-tested in tests/test_pallas.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:  # pallas is TPU/GPU-only at runtime but always importable
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    _PALLAS_AVAILABLE = False
+
+__all__ = ["fused_se_matrix", "pallas_enabled"]
+
+_BA = 128  # output tile rows
+_BB = 128  # output tile cols
+_BN = 512  # feature-chunk (reduction) tile
+
+
+def pallas_enabled() -> bool:
+    """True if the current default backend can run the Pallas kernels."""
+    return _PALLAS_AVAILABLE and jax.default_backend() == "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _se_kernel_body(x_ref, y_ref, h_ref, scale_ref, out_ref, acc_ref):
+    """One (i, j, k) grid step: accumulate this feature chunk's contribution
+    to the squared distances; apply the exp epilogue on the last chunk."""
+    k = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x_blk = x_ref[:]  # [BA, BN]
+    y_blk = y_ref[:]  # [BB, BN]
+    x_sq = jnp.sum(x_blk * x_blk, axis=1, keepdims=True)  # [BA, 1]
+    y_sq = jnp.sum(y_blk * y_blk, axis=1, keepdims=True)  # [BB, 1]
+    cross = jax.lax.dot_general(
+        x_blk, y_blk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BA, BB]
+    acc_ref[:] += x_sq + y_sq.T - 2.0 * cross
+
+    @pl.when(k == n_k - 1)
+    def _():
+        h = h_ref[0, 0]
+        scale = scale_ref[0, 0]
+        out_ref[:] = scale * jnp.exp(-acc_ref[:] / h)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_se_matrix_padded(x, y, h, scale, interpret=False):
+    a, n = x.shape
+    b, _ = y.shape
+    grid = (a // _BA, b // _BB, n // _BN)
+    return pl.pallas_call(
+        _se_kernel_body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BA, _BN), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BB, _BN), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_BA, _BB), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((a, b), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_BA, _BB), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * a * b * n,
+            bytes_accessed=4 * (a * n + b * n + a * b),
+            transcendentals=a * b,
+        ),
+        interpret=interpret,
+    )(x, y, jnp.array([[h]], jnp.float32), jnp.array([[scale]], jnp.float32))
+
+
+def fused_se_matrix(x: jnp.ndarray, y: jnp.ndarray, h, scale,
+                    interpret: bool = False) -> jnp.ndarray:
+    """``[A, n] x [B, n] -> [A, B]`` SE kernel matrix, fused on TPU.
+
+    ``x`` / ``y`` are flattened particle batches (rows = particles). ``h``
+    and ``scale`` must be static Python floats here (they are fixed kernel
+    hyperparameters for a run).
+    """
+    a, n = x.shape
+    b, _ = y.shape
+    a_pad = _round_up(max(a, 8), _BA)
+    b_pad = _round_up(max(b, 8), _BB)
+    n_pad = _round_up(max(n, 128), _BN)
+    x_p = jnp.zeros((a_pad, n_pad), jnp.float32).at[:a, :n].set(x)
+    y_p = jnp.zeros((b_pad, n_pad), jnp.float32).at[:b, :n].set(y)
+    out = _fused_se_matrix_padded(x_p, y_p, float(h), float(scale),
+                                  interpret=interpret)
+    return out[:a, :b]

@@ -78,6 +78,25 @@ def pytree_sq_norm_matrix(xs, ys) -> jnp.ndarray:
     return tree_reduce(jnp.add, per_leaf)
 
 
+def masked_logdet_pd(m: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Log-determinant of a masked submatrix of a *positive-definite* matrix
+    via Cholesky — the TPU fast path used by the BGe score.
+
+    The masked matrix ``s sᵀ ⊙ M + (I − diag(s)²)`` is positive definite for
+    any PD ``M`` and soft selector ``s ∈ [0, 1]``:
+    ``vᵀ M_masked v = (D_s v)ᵀ M (D_s v) + Σ (1 − s_i²) v_i² > 0``.
+    Cholesky needs no pivoting (unlike the LU behind ``slogdet``), which on
+    TPU roughly halves the cost of the dominant BGe op and compiles much
+    faster for the big batched call the estimators make
+    (particles × MC samples × nodes determinants per SVGD step).
+    """
+    d = mask.shape[-1]
+    outer = mask[..., :, None] * mask[..., None, :]
+    submat = outer * m + (1.0 - outer) * jnp.eye(d, dtype=m.dtype)
+    chol = jnp.linalg.cholesky(submat)
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)))
+
+
 def masked_slogdet(m: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Log-determinant of the submatrix of ``m`` selected by boolean ``mask``.
 

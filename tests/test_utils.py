@@ -5,6 +5,7 @@ from jax import random
 
 from dibs_tpu.utils.func import (
     expand_by,
+    masked_logdet_pd,
     masked_slogdet,
     pytree_sq_norm_matrix,
     squared_norm_pytree,
@@ -65,3 +66,25 @@ def test_masked_slogdet_vs_dense_submatrix(seed):
 def test_masked_slogdet_empty_mask():
     m = jnp.eye(3) * 5.0
     assert jnp.allclose(masked_slogdet(m, jnp.zeros(3)), 0.0)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_masked_logdet_pd_matches_slogdet(seed):
+    """Cholesky fast path == LU path on PD matrices, for hard & soft masks."""
+    key = random.PRNGKey(seed)
+    d = 7
+    k1, k2 = random.split(key)
+    a = random.normal(k1, (d, d))
+    m = a @ a.T + d * jnp.eye(d)
+    hard = random.bernoulli(k2, 0.5, (d,)).astype(jnp.float32)
+    soft = random.uniform(k2, (d,))
+    for mask in [hard, soft, jnp.zeros(d), jnp.ones(d)]:
+        assert jnp.allclose(
+            masked_logdet_pd(m, mask), masked_slogdet(m, mask), atol=1e-3
+        )
+    # gradient parity on the soft mask (BGe reparam path)
+    import jax
+
+    g1 = jax.grad(lambda s: masked_logdet_pd(m, s))(soft)
+    g2 = jax.grad(lambda s: masked_slogdet(m, s))(soft)
+    assert jnp.allclose(g1, g2, atol=1e-3)
