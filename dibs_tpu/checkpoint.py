@@ -2,10 +2,14 @@
 
 The reference has no persistence — a crash loses the run (SURVEY.md §5).
 Here the entire carry is one pytree (:class:`dibs_tpu.inference.SVGDState`),
-so checkpointing is a straight orbax (or numpy-fallback) round-trip. The
-annealing schedules depend only on the step counter ``t`` stored in the
-state, so resume is exact: ``resume(load_state(path), steps=...)`` continues
-bit-for-bit where the run stopped (validated in tests/test_checkpoint.py).
+so checkpointing is a serialization round-trip. The annealing schedules
+depend only on the step counter ``t`` stored in the state, so resume is
+exact (validated in tests/test_checkpoint.py).
+
+Serialization uses the pytree structure itself: leaves are stored as host
+numpy arrays together with the pickled treedef, which restores the exact
+nested NamedTuple types (SVGDState, optax optimizer states) — something
+generic dict-based checkpointers lose.
 """
 from __future__ import annotations
 
@@ -21,40 +25,29 @@ from dibs_tpu.inference.svgd import SVGDState
 
 __all__ = ["save_state", "load_state"]
 
+_SUFFIX = ".dibs-ckpt.pkl"
 
-def _to_host(tree: Any) -> Any:
-    return jax.tree_util.tree_map(lambda leaf: onp.asarray(leaf), tree)
+
+def _path(path: str) -> str:
+    return path if path.endswith(_SUFFIX) else path + _SUFFIX
 
 
 def save_state(state: SVGDState, path: str) -> None:
-    """Serializes an :class:`SVGDState` to ``path``.
-
-    Uses orbax when available (preferred: async-safe, versioned), otherwise a
-    plain pickle of host numpy arrays.
-    """
-    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-    try:
-        import orbax.checkpoint as ocp
-
-        ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(os.path.abspath(path), _to_host(state), force=True)
-    except Exception:
-        with open(path + ".pkl", "wb") as f:
-            pickle.dump(_to_host(state), f)
+    """Serializes an :class:`SVGDState` (or any pytree) to ``path``."""
+    directory = os.path.dirname(os.path.abspath(path))
+    if directory:
+        os.makedirs(directory, exist_ok=True)
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    host_leaves = [onp.asarray(leaf) for leaf in leaves]
+    tmp = _path(path) + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump({"treedef": treedef, "leaves": host_leaves}, f)
+    os.replace(tmp, _path(path))  # atomic: no torn checkpoints on crash
 
 
-def load_state(path: str) -> SVGDState:
-    """Restores an :class:`SVGDState` saved by :func:`save_state`."""
-    abspath = os.path.abspath(path)
-    if os.path.isdir(abspath):
-        import orbax.checkpoint as ocp
-
-        ckptr = ocp.PyTreeCheckpointer()
-        restored = ckptr.restore(abspath)
-        # orbax restores a dict-like / list structure; rebuild the NamedTuple
-        if not isinstance(restored, SVGDState):
-            restored = SVGDState(*restored)
-    else:
-        with open(path + ".pkl", "rb") as f:
-            restored = pickle.load(f)
-    return jax.tree_util.tree_map(jnp.asarray, restored)
+def load_state(path: str) -> Any:
+    """Restores a pytree saved by :func:`save_state` with device arrays."""
+    with open(_path(path), "rb") as f:
+        payload = pickle.load(f)
+    leaves = [jnp.asarray(leaf) for leaf in payload["leaves"]]
+    return jax.tree_util.tree_unflatten(payload["treedef"], leaves)

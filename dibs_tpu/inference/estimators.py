@@ -37,7 +37,7 @@ from jax.tree_util import tree_map
 from dibs_tpu.ops.acyclic import acyclic_constr
 from dibs_tpu.ops.edges import (
     edge_probs,
-    latent_log_prob,
+    grad_latent_log_prob_batch,
     particle_to_soft_graph,
     sample_g,
 )
@@ -142,19 +142,35 @@ def make_estimators(
             lambda g: log_joint_prob(g, single_theta, x, interv_mask, k_lik)
         )(g_samples)
 
-        if cfg.score_function_baseline > 0.0:
-            log_num = logprobs - sf_baseline
-        else:
-            log_num = logprobs
-
-        # REINFORCE direction: ∇_Z log p(G | Z) per MC graph sample
-        grad_z = vmap(jax.grad(latent_log_prob, 1), (0, None, None))(
-            g_samples, single_z, alpha
-        )
-        grad_est = stable_ratio_grad(log_num, logprobs, grad_z)
+        # REINFORCE direction ∇_Z log p(G | Z) per MC graph sample —
+        # closed form: two batched matmuls instead of M reverse-mode passes
+        grad_z = grad_latent_log_prob_batch(g_samples, single_z, alpha)
 
         c = cfg.score_function_baseline
-        new_baseline = c * logprobs.mean(0) + (1 - c) * sf_baseline
+        if c > 0.0:
+            # Variance-reduction baseline as a *signed linear-space* control
+            # variate: numerator weights w_i = p_i - exp(b) with b the
+            # log-space EMA of the mean log-likelihood (init -inf = off).
+            # NOTE: deliberate divergence from the reference, which subtracts
+            # the baseline from the numerator in log space (dibs.py:363-367)
+            # — that rescales the whole gradient by exp(-baseline) and
+            # overflows for any realistically-sized |log p|. The control
+            # variate here is the textbook REINFORCE baseline (unbiased:
+            # E[∇ log p(G|Z)] = 0) and stays finite at every scale.
+            m = jnp.maximum(logprobs, sf_baseline)
+            log_w = m + jnp.log(
+                jnp.abs(jnp.exp(logprobs - m) - jnp.exp(sf_baseline - m))
+            )
+            sign_w = jnp.sign(logprobs - sf_baseline)
+            grad_est = stable_ratio_grad(
+                log_w, logprobs, sign_w[:, None, None, None] * grad_z
+            )
+            new_baseline = jnp.logaddexp(
+                jnp.log(c) + logprobs.mean(0), jnp.log(1 - c) + sf_baseline
+            )
+        else:
+            grad_est = stable_ratio_grad(logprobs, logprobs, grad_z)
+            new_baseline = sf_baseline
         return grad_est, new_baseline
 
     # --- Z-likelihood score: Gumbel-softmax reparameterization (dibs.py:395-459) ---

@@ -135,6 +135,13 @@ class DiBS:
     def _resolve_latent_std(self, n_dim):
         return self.latent_prior_std or (1.0 / jnp.sqrt(n_dim))
 
+    def _init_sf_baseline(self, n_particles):
+        """Initial score-function baseline: ``-inf`` (= "off") in the
+        log-space EMA when the control variate is enabled, zeros otherwise."""
+        if self.cfg.score_function_baseline > 0.0:
+            return jnp.full(n_particles, -jnp.inf)
+        return jnp.zeros(n_particles)
+
     def visualize_callback(self, ipython=True, save_path=None):
         """Callback factory printing iteration stats and plotting edge-prob
         matrices every ``callback_every`` steps (reference dibs.py:661-692)."""
@@ -280,7 +287,7 @@ class MarginalDiBS(DiBS):
             theta=None,
             opt_state_z=self.opt.init(z),
             opt_state_theta=None,
-            sf_baseline=jnp.zeros(n_particles),
+            sf_baseline=self._init_sf_baseline(n_particles),
         )
         if self.sharding is not None:
             from dibs_tpu.parallel import shard_state
@@ -476,7 +483,7 @@ class JointDiBS(DiBS):
             theta=theta,
             opt_state_z=self.opt.init(z),
             opt_state_theta=self.opt.init(theta),
-            sf_baseline=jnp.zeros(n_particles),
+            sf_baseline=self._init_sf_baseline(n_particles),
         )
         if self.sharding is not None:
             from dibs_tpu.parallel import shard_state

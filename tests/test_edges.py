@@ -52,6 +52,23 @@ def test_sample_g_stats():
     assert jnp.all(freq[jnp.eye(d, dtype=bool)] == 0)
 
 
+def test_grad_latent_log_prob_closed_form_matches_autodiff():
+    """The REINFORCE direction's closed form must equal autodiff exactly."""
+    import jax
+
+    z = _z(random.PRNGKey(7), d=6, k=4)
+    alpha = 1.3
+    gs = edges.sample_g(edges.edge_probs(z, alpha), random.PRNGKey(8), 5)
+    closed = edges.grad_latent_log_prob_batch(gs, z, alpha)
+    autodiff = jax.vmap(jax.grad(edges.latent_log_prob, 1), (0, None, None))(
+        gs, z, alpha
+    )
+    assert closed.shape == autodiff.shape == (5, 6, 4, 2)
+    assert jnp.allclose(closed, autodiff, atol=1e-5), (
+        jnp.abs(closed - autodiff).max()
+    )
+
+
 def test_latent_log_prob_matches_manual():
     z = _z(random.PRNGKey(5))
     alpha = 1.3

@@ -61,8 +61,9 @@ def _exact_grad_z(model, x, interv, z, theta, alpha):
     return jax.grad(log_expectation)(z)
 
 
-@pytest.mark.parametrize("estimator", ["score", "reparam"])
-def test_grad_z_estimator_matches_exact_enumeration(estimator):
+def test_grad_z_score_matches_exact_enumeration():
+    """The REINFORCE estimator is unbiased — it must converge to the exact
+    enumerated gradient with enough MC samples."""
     model, x, interv, z, theta = _setup()
     t = 10.0
     alpha_linear = 0.2
@@ -71,11 +72,8 @@ def test_grad_z_estimator_matches_exact_enumeration(estimator):
     exact = _exact_grad_z(model, x, interv, z, theta, alpha)
 
     cfg = EstimatorConfig(
-        alpha_linear=alpha_linear,
-        # tiny tau bias is inherent to reparam; large MC count for tightness
-        n_grad_mc_samples=6000 if estimator == "score" else 3000,
-        tau=5.0,
-        grad_estimator_z=estimator,
+        alpha_linear=alpha_linear, n_grad_mc_samples=6000,
+        grad_estimator_z="score",
     )
     est = make_estimators(
         cfg=cfg,
@@ -87,13 +85,65 @@ def test_grad_z_estimator_matches_exact_enumeration(estimator):
     grads, _ = est.eltwise_grad_z_likelihood(
         z[None], theta[None], jnp.zeros(1), t, random.split(random.PRNGKey(5), 1)
     )
-    approx = grads[0]
+    rel_err = jnp.abs(grads[0] - exact).max() / jnp.abs(exact).max()
+    assert rel_err < 0.35, f"rel err {rel_err}"
 
-    denom = jnp.abs(exact).max()
-    rel_err = jnp.abs(approx - exact).max() / denom
-    # MC estimators: loose statistical tolerance (reparam additionally carries
-    # the concrete-relaxation bias controlled by tau)
-    assert rel_err < 0.35, f"{estimator}: rel err {rel_err}"
+
+def test_grad_z_reparam_correct_and_directionally_aligned():
+    """The Gumbel-softmax estimator is *biased* by the concrete relaxation
+    (the reference carries the same bias), so exact equality to the hard-graph
+    gradient is the wrong check. Instead: (a) the implementation must
+    bit-match an independently-coded reference-style two-pass evaluation with
+    the same keys; (b) at the default tau=1 it must be directionally aligned
+    with the exact enumerated gradient."""
+    from jax import grad as jgrad, vmap
+    from jax.scipy.special import logsumexp
+
+    from dibs_tpu.ops.edges import particle_to_soft_graph
+    from dibs_tpu.utils.func import expand_by
+
+    model, x, interv, z, theta = _setup()
+    t, alpha_linear, tau, n_mc = 10.0, 0.2, 1.0, 512
+    alpha = alpha_linear * t
+
+    cfg = EstimatorConfig(
+        alpha_linear=alpha_linear, n_grad_mc_samples=n_mc, tau=tau,
+        grad_estimator_z="reparam",
+    )
+    est = make_estimators(
+        cfg=cfg,
+        log_graph_prior=lambda soft_g: jnp.array(0.0),
+        log_joint_prob=model.interventional_log_joint_prob,
+        x=x,
+        interv_mask=interv,
+    )
+    key0 = random.PRNGKey(5)
+    grads, _ = est.eltwise_grad_z_likelihood(
+        z[None], theta[None], jnp.zeros(1), t, key0[None]
+    )
+
+    # (a) reference-style independent recompute (two passes) with same keys
+    key, k_eps = random.split(key0)
+    eps = random.logistic(k_eps, shape=(n_mc, D, D))
+    key, k_lik = random.split(key)
+
+    def f(zz, e):
+        sg = particle_to_soft_graph(zz, e, alpha, tau)
+        return model.interventional_log_joint_prob(sg, theta, x, interv, k_lik)
+
+    logprobs = vmap(f, (None, 0))(z, eps)
+    gz = vmap(jgrad(f, 0), (None, 0))(z, eps)
+    log_num, sign = logsumexp(
+        a=expand_by(logprobs, 3), b=gz, axis=0, return_sign=True
+    )
+    ref = sign * jnp.exp(log_num - logsumexp(logprobs, axis=0))
+    assert jnp.allclose(grads[0], ref, atol=1e-5)
+
+    # (b) directional alignment with the exact hard-graph gradient
+    exact = _exact_grad_z(model, x, interv, z, theta, alpha)
+    a, b = grads[0].ravel(), exact.ravel()
+    cos = (a @ b) / (jnp.linalg.norm(a) * jnp.linalg.norm(b))
+    assert cos > 0.5, f"cosine {cos}"
 
 
 def test_grad_theta_estimator_matches_exact_enumeration():
@@ -142,12 +192,21 @@ def test_score_function_baseline_updates():
         x=x,
         interv_mask=interv,
     )
-    baselines = jnp.zeros(1)
+    # the log-space EMA warm-starts at -inf ("no baseline yet"), matching
+    # DiBS._init_sf_baseline
+    baselines = jnp.full(1, -jnp.inf)
     grads, new_baselines = est.eltwise_grad_z_likelihood(
         z[None], theta[None], baselines, 5.0, random.split(random.PRNGKey(7), 1)
     )
     assert jnp.isfinite(grads).all()
-    assert not jnp.allclose(new_baselines, baselines)  # EMA moved
+    assert jnp.isfinite(new_baselines).all()  # EMA moved off -inf
+    # second step: baseline active, gradient stays finite
+    grads2, nb2 = est.eltwise_grad_z_likelihood(
+        z[None], theta[None], new_baselines, 6.0,
+        random.split(random.PRNGKey(8), 1),
+    )
+    assert jnp.isfinite(grads2).all()
+    assert jnp.isfinite(nb2).all()
 
 
 def test_grad_latent_prior_terms():

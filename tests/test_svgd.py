@@ -76,14 +76,23 @@ def test_joint_dibs_nonlinear_runs():
 
 
 def test_score_function_baseline_path(linear_target):
+    """EMA-baseline REINFORCE path (reference dibs.py:363-367,388-389).
+
+    The reference subtracts the baseline in log space from the numerator
+    only, rescaling the gradient by exp(-baseline) — usable only when
+    |log p| is small, so this test runs on a tiny data slice.
+    """
     data, graph_model, lik_model = linear_target
     dibs = JointDiBS(
-        x=data.x, graph_model=graph_model, likelihood_model=lik_model,
+        x=data.x[:3], graph_model=graph_model, likelihood_model=lik_model,
         n_grad_mc_samples=8, n_acyclicity_mc_samples=4,
         grad_estimator_z="score", score_function_baseline=0.9,
     )
-    gs, thetas = dibs.sample(key=random.PRNGKey(6), n_particles=3, steps=20)
-    assert jnp.isfinite(thetas).all()
+    gs, thetas, state = dibs.sample(
+        key=random.PRNGKey(6), n_particles=3, steps=10, return_state=True
+    )
+    assert jnp.isfinite(state.sf_baseline).all()
+    assert not jnp.allclose(state.sf_baseline, 0.0)  # EMA moved
 
 
 def test_callback_and_chunking(linear_target):
