@@ -14,3 +14,34 @@ Public surface mirrors the reference library (`larslorch/dibs`):
 """
 
 __version__ = "0.1.0"
+
+from dibs_tpu import metrics, target  # noqa: E402,F401
+from dibs_tpu.inference import JointDiBS, MarginalDiBS, SVGDState  # noqa: E402,F401
+from dibs_tpu.kernel import (  # noqa: E402,F401
+    AdditiveFrobeniusSEKernel,
+    JointAdditiveFrobeniusSEKernel,
+)
+from dibs_tpu.models import (  # noqa: E402,F401
+    BGe,
+    DenseNonlinearGaussian,
+    ErdosReniDAGDistribution,
+    LinearGaussian,
+    ScaleFreeDAGDistribution,
+    UniformDAGDistributionRejection,
+)
+
+__all__ = [
+    "MarginalDiBS",
+    "JointDiBS",
+    "SVGDState",
+    "AdditiveFrobeniusSEKernel",
+    "JointAdditiveFrobeniusSEKernel",
+    "BGe",
+    "LinearGaussian",
+    "DenseNonlinearGaussian",
+    "ErdosReniDAGDistribution",
+    "ScaleFreeDAGDistribution",
+    "UniformDAGDistributionRejection",
+    "metrics",
+    "target",
+]

@@ -37,10 +37,12 @@ from jax.tree_util import tree_map
 from dibs_tpu.ops.acyclic import acyclic_constr
 from dibs_tpu.ops.edges import (
     edge_probs,
+    edge_scores,
     grad_latent_log_prob_batch,
     particle_to_soft_graph,
     sample_g,
 )
+from dibs_tpu.ops.soft_graphs import sample_soft_graphs
 from dibs_tpu.utils.func import expand_by
 
 __all__ = ["EstimatorConfig", "Estimators", "make_estimators", "stable_ratio_grad"]
@@ -174,37 +176,49 @@ def make_estimators(
         return grad_est, new_baseline
 
     # --- Z-likelihood score: Gumbel-softmax reparameterization (dibs.py:395-459) ---
+    #
+    # Whole-batch formulation: the self-normalized ratio with shared samples
+    # reduces to a softmax-weighted sum of per-sample gradients,
+    #   ∇_Z ≈ Σ_m softmax(ℓ)_m ∇_Z ℓ_m ,
+    # so ONE vjp call with the softmax weights as cotangents computes every
+    # particle's estimate (the reference runs a separate forward and M
+    # backward passes per particle). The relaxed graph samples come from the
+    # storage-free sampler (ops/soft_graphs.py): on TPU the Logistic noise is
+    # generated inside a Pallas kernel and never touches HBM.
 
-    def grad_z_reparam(single_z, single_theta, sf_baseline, t, key):
+    def eltwise_grad_z_reparam(zs, thetas, baselines, t, keys):
         alpha = cfg.alpha(t)
-        d = single_z.shape[0]
+        key_noise = keys[0]
 
-        key, k_eps = random.split(key)
-        eps = random.logistic(k_eps, shape=(cfg.n_grad_mc_samples, d, d))
-        key, k_lik = random.split(key)
+        def batched_logprobs(zs_):
+            scores = edge_scores(zs_)
+            gs = sample_soft_graphs(
+                scores, key_noise, alpha, cfg.tau, cfg.n_grad_mc_samples
+            )
+            return vmap(
+                lambda g_p, th_p: vmap(
+                    lambda g: log_joint_prob(g, th_p, x, interv_mask, key_noise)
+                )(g_p),
+                (0, 0),
+            )(gs, thetas)  # [P, M]
 
-        def soft_logprob(z, e):
-            soft_g = particle_to_soft_graph(z, e, alpha, cfg.tau)
-            return log_joint_prob(soft_g, single_theta, x, interv_mask, k_lik)
+        logprobs, vjp_fn = jax.vjp(batched_logprobs, zs)
+        weights = jnp.exp(logprobs - logsumexp(logprobs, axis=1, keepdims=True))
+        (grads,) = vjp_fn(weights)
+        return grads, baselines
 
-        # one fused forward+backward per MC sample
-        logprobs, grads = vmap(
-            jax.value_and_grad(soft_logprob, 0), (None, 0), (0, 0)
-        )(single_z, eps)
-
-        grad_est = stable_ratio_grad(logprobs, logprobs, grads)
-        return grad_est, sf_baseline
-
-    grad_z_fns = {"score": grad_z_score, "reparam": grad_z_reparam}
-    if cfg.grad_estimator_z not in grad_z_fns:
-        raise ValueError(f"Unknown gradient estimator `{cfg.grad_estimator_z}`")
-    grad_z_single = grad_z_fns[cfg.grad_estimator_z]
-
-    def eltwise_grad_z_likelihood(zs, thetas, baselines, t, keys):
-        """``[P, d, k, 2] -> ([P, d, k, 2], [P])`` batched over particles."""
-        return vmap(grad_z_single, (0, 0, 0, None, 0), (0, 0))(
+    def eltwise_grad_z_score(zs, thetas, baselines, t, keys):
+        return vmap(grad_z_score, (0, 0, 0, None, 0), (0, 0))(
             zs, thetas, baselines, t, keys
         )
+
+    grad_z_fns = {
+        "score": eltwise_grad_z_score,
+        "reparam": eltwise_grad_z_reparam,
+    }
+    if cfg.grad_estimator_z not in grad_z_fns:
+        raise ValueError(f"Unknown gradient estimator `{cfg.grad_estimator_z}`")
+    eltwise_grad_z_likelihood = grad_z_fns[cfg.grad_estimator_z]
 
     # --- Θ-likelihood score (dibs.py:467-551) ---
 

@@ -132,6 +132,29 @@ class DiBS:
     def sample_g(self, p, subk, n_samples):
         return edge_ops.sample_g(p, subk, n_samples)
 
+    def latent_log_prob(self, single_g, single_z, t):
+        """``log p(G | Z)`` of one graph sample (reference dibs.py:208-229)."""
+        return edge_ops.latent_log_prob(single_g, single_z, self.cfg.alpha(t))
+
+    def eltwise_grad_latent_log_prob(self, gs, single_z, t):
+        """Batched ``∇_Z log p(G | Z)`` over graph samples (dibs.py:232-247);
+        closed form — two batched matmuls instead of per-sample autodiff."""
+        return edge_ops.grad_latent_log_prob_batch(gs, single_z, self.cfg.alpha(t))
+
+    def eltwise_log_joint_prob(self, gs, single_theta, rng):
+        """Batched ``log p(Θ, D | G)`` over graph samples (dibs.py:255-269)."""
+        return vmap(
+            lambda g: self.log_joint_prob(g, single_theta, self.x,
+                                          self.interv_mask, rng)
+        )(gs)
+
+    def log_joint_prob_soft(self, single_z, single_theta, eps, t, subk):
+        """``log p(Θ, D | G_soft(Z, eps))`` — the Gumbel-softmax composition
+        the reparameterization estimator differentiates (dibs.py:271-288)."""
+        soft_g = self.particle_to_soft_graph(single_z, eps, t)
+        return self.log_joint_prob(soft_g, single_theta, self.x,
+                                   self.interv_mask, subk)
+
     def _resolve_latent_std(self, n_dim):
         return self.latent_prior_std or (1.0 / jnp.sqrt(n_dim))
 

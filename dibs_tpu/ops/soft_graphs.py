@@ -1,0 +1,76 @@
+"""Batched Gumbel-softmax graph sampling with a storage-free backward pass.
+
+``sample_soft_graphs`` draws ``n_samples`` relaxed adjacency samples
+``G = sigmoid(tau * (eps + alpha * scores))`` (``eps ~ Logistic(0, 1)``) for a
+whole particle batch in one call, wrapped in a custom VJP that needs only the
+*output* as residual:
+
+    dG/d scores = tau * alpha * G (1 - G)
+
+so neither path stores the noise tensor for the backward pass — and the TPU
+path (:func:`dibs_tpu.ops.pallas_kernels.gumbel_soft_graphs_pallas`) never
+materializes the noise at all: it is generated in VMEM from the hardware PRNG
+inside the kernel. At the d=128 / 1000-particle scaling config this removes a
+~2 GB HBM round-trip plus the host-threefry bit generation from every SVGD
+step.
+
+The XLA fallback draws ``eps = jax.random.logistic(key, [B, M, d, d])`` — the
+deterministic spec tests rely on (tests/test_estimators.py).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from dibs_tpu.ops.pallas_kernels import gumbel_soft_graphs_pallas, pallas_enabled
+from dibs_tpu.utils.func import zero_diagonal
+
+__all__ = ["sample_soft_graphs"]
+
+
+def _key_to_seed(key) -> jnp.ndarray:
+    try:
+        kd = random.key_data(key)
+    except TypeError:
+        kd = key
+    kd = kd.reshape(-1).astype(jnp.uint32)
+    return (kd[0] ^ (kd[-1] << 1)).astype(jnp.int32)
+
+
+def sample_soft_graphs(scores: jnp.ndarray, key, alpha, tau,
+                       n_samples: int, use_pallas: Optional[bool] = None):
+    """``[B, d, d]`` scores -> ``[B, n_samples, d, d]`` relaxed graph samples.
+
+    Differentiable w.r.t. ``scores`` and ``alpha`` (closed-form VJP); the PRNG
+    ``key`` and static ``tau`` / ``n_samples`` are not differentiated.
+    """
+    b, d, _ = scores.shape
+    if use_pallas is None:
+        use_pallas = pallas_enabled() and d % 128 == 0
+
+    @jax.custom_vjp
+    def sample(s, a):
+        if use_pallas:
+            return gumbel_soft_graphs_pallas(
+                s, _key_to_seed(key), a, tau, n_samples
+            )
+        eps = random.logistic(key, shape=(b, n_samples, d, d))
+        return zero_diagonal(jax.nn.sigmoid(tau * (eps + a * s[:, None])))
+
+    def fwd(s, a):
+        out = sample(s, a)
+        return out, (out, s, a)
+
+    def bwd(res, g_out):
+        out, s, a = res
+        # dG/ds = tau*a*G(1-G); dG/da = tau*s*G(1-G); diagonal already zero
+        sensit = tau * out * (1.0 - out) * g_out  # [B, M, d, d]
+        d_scores = a * sensit.sum(axis=1)
+        d_alpha = jnp.sum(sensit * s[:, None]).astype(jnp.asarray(a).dtype)
+        return d_scores, d_alpha
+
+    sample.defvjp(fwd, bwd)
+    return sample(scores, jnp.asarray(alpha, scores.dtype))

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""TPU-hardware validation of the Pallas kernels (not coverable on CPU).
+
+Run on a machine with a real TPU: ``python scripts/validate_tpu.py``.
+Checks:
+  1. fused SE kernel matrix == XLA Gram path,
+  2. hardware-PRNG Gumbel soft-graph sampler: shapes, diagonal, moment and
+     determinism checks, and statistical agreement of the downstream
+     reparameterization gradient with the XLA (threefry) path.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+
+def check(name, cond, detail=""):
+    status = "ok" if cond else "FAIL"
+    print(f"[{status}] {name} {detail}", flush=True)
+    return bool(cond)
+
+
+def main():
+    assert jax.default_backend() == "tpu", "run on a TPU host"
+    ok = True
+
+    # --- fused SE matrix ---
+    from dibs_tpu.ops.pallas_kernels import fused_se_matrix
+    from dibs_tpu.utils.func import pytree_sq_norm_matrix
+
+    k1, k2 = random.split(random.PRNGKey(0))
+    x = random.normal(k1, (130, 1600))
+    y = random.normal(k2, (77, 1600))
+    out = fused_se_matrix(x, y, 5.0, 1.0)
+    ref = jnp.exp(-pytree_sq_norm_matrix(x, y) / 5.0)
+    ok &= check("fused_se_matrix == XLA", jnp.allclose(out, ref, atol=1e-5),
+                f"maxerr {float(jnp.abs(out - ref).max()):.2e}")
+
+    # --- hardware-PRNG soft graphs ---
+    from dibs_tpu.ops.pallas_kernels import gumbel_soft_graphs_pallas
+
+    b, m, d = 2, 64, 128
+    scores = jnp.zeros((b, d, d))
+    g = gumbel_soft_graphs_pallas(scores, 7, 0.0, 1.0, m)
+    off = g[:, :, ~jnp.eye(d, dtype=bool)]
+    ok &= check("soft-graph shape", g.shape == (b, m, d, d))
+    ok &= check("diagonal zero",
+                bool(jnp.all(g[:, :, jnp.arange(d), jnp.arange(d)] == 0)))
+    # alpha=0, tau=1 -> entries are U(0,1): mean .5, var 1/12
+    ok &= check("uniform moments",
+                abs(float(off.mean()) - 0.5) < 0.01
+                and abs(float(off.var()) - 1 / 12) < 0.005,
+                f"mean {float(off.mean()):.4f} var {float(off.var()):.4f}")
+    g2 = gumbel_soft_graphs_pallas(scores, 7, 0.0, 1.0, m)
+    ok &= check("deterministic for fixed seed", bool(jnp.all(g == g2)))
+    g3 = gumbel_soft_graphs_pallas(scores, 8, 0.0, 1.0, m)
+    ok &= check("seed changes samples", not bool(jnp.all(g == g3)))
+
+    # --- downstream gradient: pallas vs XLA noise paths agree statistically ---
+    from dibs_tpu.ops.soft_graphs import sample_soft_graphs
+
+    key = random.PRNGKey(5)
+    scores = random.normal(key, (1, d, d))
+    n_mc = 2048
+
+    def grad_through(use_pallas):
+        def f(s):
+            gs = sample_soft_graphs(s, key, 1.0, 1.0, n_mc,
+                                    use_pallas=use_pallas)
+            return gs.mean()
+        return jax.grad(f)(scores)
+
+    gp = grad_through(True)
+    gx = grad_through(False)
+    corr = float(
+        jnp.sum(gp * gx) / (jnp.linalg.norm(gp) * jnp.linalg.norm(gx))
+    )
+    ok &= check("reparam grad pallas≈xla (cosine)", corr > 0.95,
+                f"cos {corr:.4f}")
+
+    print("ALL OK" if ok else "FAILURES PRESENT", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

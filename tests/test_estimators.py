@@ -122,14 +122,13 @@ def test_grad_z_reparam_correct_and_directionally_aligned():
         z[None], theta[None], jnp.zeros(1), t, key0[None]
     )
 
-    # (a) reference-style independent recompute (two passes) with same keys
-    key, k_eps = random.split(key0)
-    eps = random.logistic(k_eps, shape=(n_mc, D, D))
-    key, k_lik = random.split(key)
+    # (a) reference-style independent recompute (two passes) with the same
+    # noise: the batched sampler draws eps = logistic(keys[0], [B, M, d, d])
+    eps = random.logistic(key0, shape=(1, n_mc, D, D))[0]
 
     def f(zz, e):
         sg = particle_to_soft_graph(zz, e, alpha, tau)
-        return model.interventional_log_joint_prob(sg, theta, x, interv, k_lik)
+        return model.interventional_log_joint_prob(sg, theta, x, interv, key0)
 
     logprobs = vmap(f, (None, 0))(z, eps)
     gz = vmap(jgrad(f, 0), (None, 0))(z, eps)
