@@ -39,10 +39,9 @@ from dibs_tpu.ops.edges import (
     edge_probs,
     edge_scores,
     grad_latent_log_prob_batch,
-    particle_to_soft_graph,
     sample_g,
 )
-from dibs_tpu.ops.soft_graphs import sample_soft_graphs
+from dibs_tpu.ops.soft_graphs import sample_hard_graphs, sample_soft_graphs
 from dibs_tpu.utils.func import expand_by
 
 __all__ = ["EstimatorConfig", "Estimators", "make_estimators", "stable_ratio_grad"]
@@ -221,41 +220,33 @@ def make_estimators(
     eltwise_grad_z_likelihood = grad_z_fns[cfg.grad_estimator_z]
 
     # --- Θ-likelihood score (dibs.py:467-551) ---
-
-    def grad_theta_single(single_z, single_theta, t, key):
-        alpha = cfg.alpha(t)
-        p = edge_probs(single_z, alpha)
-        g_samples = sample_g(p, key, cfg.n_grad_mc_samples)
-
-        key, k_lik = random.split(key)
-        logprobs, grads = vmap(
-            jax.value_and_grad(
-                lambda g, th: log_joint_prob(g, th, x, interv_mask, k_lik), 1
-            ),
-            (0, None),
-            (0, 0),
-        )(g_samples, single_theta)
-
-        return stable_ratio_grad(logprobs, logprobs, grads)
+    #
+    # Same whole-batch one-vjp formulation as the reparam Z-estimator: the
+    # self-normalized pytree ratio is a softmax-weighted sum of per-sample
+    # Θ-gradients, so one vjp with the [P, M] softmax weights as cotangents
+    # yields every particle's pytree estimate.
 
     def eltwise_grad_theta_likelihood(zs, thetas, t, keys):
         """Pytree of Θ-gradients with leading particle dim."""
-        return vmap(grad_theta_single, (0, 0, None, 0), 0)(zs, thetas, t, keys)
+        alpha = cfg.alpha(t)
+        g_samples = sample_hard_graphs(
+            edge_scores(zs), keys[0], alpha, cfg.n_grad_mc_samples
+        )  # [P, M, d, d] — hardware-PRNG Gumbel-max on TPU
+
+        def batched_logprobs(thetas_):
+            return vmap(
+                lambda g_p, th_p: vmap(
+                    lambda g: log_joint_prob(g, th_p, x, interv_mask, keys[0])
+                )(g_p),
+                (0, 0),
+            )(g_samples, thetas_)  # [P, M]
+
+        logprobs, vjp_fn = jax.vjp(batched_logprobs, thetas)
+        weights = jnp.exp(logprobs - logsumexp(logprobs, axis=1, keepdims=True))
+        (grads,) = vjp_fn(weights)
+        return grads
 
     # --- Z-prior score (dibs.py:557-658) ---
-
-    def grad_constraint_single(single_z, key, t):
-        """Reparam gradient of ``E_{p(G|Z)}[h(G)]`` via Gumbel-softmax samples."""
-        alpha = cfg.alpha(t)
-        d = single_z.shape[0]
-        eps = random.logistic(key, shape=(cfg.n_acyclicity_mc_samples, d, d))
-
-        def soft_h(z, e):
-            soft_g = particle_to_soft_graph(z, e, alpha, cfg.tau)
-            return acyclic_constr(soft_g, d)
-
-        grads = vmap(jax.grad(soft_h, 0), (None, 0), 0)(single_z, eps)
-        return grads.mean(0)
 
     def log_graph_prior_particle(single_z, t):
         """Graph prior evaluated on the particle's edge-probability matrix."""
@@ -266,11 +257,31 @@ def make_estimators(
         """Batched score of ``log p(Z)``:
 
         ``-beta(t) E[∇h] - Z / sigma_z^2 + ∇ log f(Z)``
+
+        The acyclicity term ``E_{p(G|Z)}[h(G)]`` uses Gumbel-softmax samples
+        from the storage-free sampler and one whole-batch vjp with uniform
+        ``1/K`` cotangents (= the MC mean of per-sample gradients); ``h``
+        itself carries the closed-form power-chain VJP (ops/acyclic.py).
         """
+        alpha = cfg.alpha(t)
+        d = zs.shape[1]
+
         grad_prior_z = vmap(jax.grad(log_graph_prior_particle, 0), (0, None), 0)(
             zs, t
         )
-        grad_constraint = vmap(grad_constraint_single, (0, 0, None), 0)(zs, keys, t)
+
+        def batched_h(zs_):
+            scores = edge_scores(zs_)
+            gs = sample_soft_graphs(
+                scores, keys[0], alpha, cfg.tau, cfg.n_acyclicity_mc_samples
+            )
+            return vmap(vmap(lambda g: acyclic_constr(g, d)))(gs)  # [P, K]
+
+        h_vals, vjp_fn = jax.vjp(batched_h, zs)
+        (grad_constraint,) = vjp_fn(
+            jnp.full_like(h_vals, 1.0 / cfg.n_acyclicity_mc_samples)
+        )
+
         return (
             -cfg.beta(t) * grad_constraint
             - zs / (latent_prior_std**2.0)

@@ -246,7 +246,9 @@ class LinearGaussian:
         """Gaussian SEM likelihood ``log p(D | G, Θ)`` with intervened entries
         masked out of the score. One ``[N, d] @ [d, d]`` matmul computes all
         node means at once."""
-        means = jnp.matmul(x, g * theta, precision=_HI)
+        from dibs_tpu.config import likelihood_matmul_precision
+
+        means = jnp.matmul(x, g * theta, precision=likelihood_matmul_precision())
         logpdf = jax_normal.logpdf(x=x, loc=means, scale=jnp.sqrt(self.obs_noise))
         return jnp.sum(jnp.where(interv_targets, 0.0, logpdf))
 

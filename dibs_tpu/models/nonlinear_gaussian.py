@@ -115,12 +115,15 @@ class DenseNonlinearGaussian:
         Node ``j``'s input is masked by its parent column ``g[:, j]``; every
         layer then runs as one node-batched einsum matmul.
         """
+        from dibs_tpu.config import likelihood_matmul_precision
+
         # [d(node), N, d(input var)]
         h = x[None, :, :] * g.T[:, None, :]
         n_layers = len(theta)
+        prec = likelihood_matmul_precision()
         for i, layer in enumerate(theta):
             w = layer[0]
-            h = jnp.einsum("jni,jio->jno", h, w, precision=_HI)
+            h = jnp.einsum("jni,jio->jno", h, w, precision=prec)
             if self.bias:
                 h = h + layer[1][:, None, :]
             if i < n_layers - 1:

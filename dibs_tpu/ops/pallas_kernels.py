@@ -111,54 +111,72 @@ def _fused_se_matrix_padded(x, y, h, scale, interpret=False):
     )(x, y, jnp.array([[h]], jnp.float32), jnp.array([[scale]], jnp.float32))
 
 
-def _gumbel_soft_kernel(seed_ref, alpha_ref, tau_ref, scores_ref, out_ref):
-    """One grid cell: ``[BM, d, d]`` Gumbel-softmax samples for one particle.
+def _make_gumbel_kernel(hard: bool):
+    def kernel(seed_ref, alpha_ref, tau_ref, scores_ref, out_ref):
+        """One grid cell: ``[BM, d, d]`` Gumbel samples for one particle.
 
-    Logistic(0,1) noise is generated in VMEM from the TPU hardware PRNG —
-    the noise tensor never exists in HBM and no host-side threefry runs.
-    """
-    b = pl.program_id(0)
-    m = pl.program_id(1)
-    # single-scalar seed (multi-arg prng_seed is unsupported on this backend):
-    # decorrelate grid cells by mixing in their coordinates with odd constants
-    pltpu.prng_seed(seed_ref[0, 0] + b * jnp.int32(1000003) + m * jnp.int32(7919))
+        Logistic(0,1) noise is generated in VMEM from the TPU hardware PRNG —
+        the noise tensor never exists in HBM and no host-side threefry runs.
+        ``hard=False``: Gumbel-softmax ``sigmoid(tau (eps + alpha s))``;
+        ``hard=True``: Gumbel-max ``1[eps + alpha s > 0]`` — distributed as
+        ``Bernoulli(sigmoid(alpha s))``.
+        """
+        b = pl.program_id(0)
+        m = pl.program_id(1)
+        # single-scalar seed (multi-arg prng_seed is unsupported on this
+        # backend): decorrelate grid cells with odd multipliers
+        pltpu.prng_seed(
+            seed_ref[0, 0] + b * jnp.int32(1000003) + m * jnp.int32(7919)
+        )
 
-    scores = scores_ref[0]  # [d, d]
-    bm, d, _ = out_ref.shape[1:4] if out_ref.ndim == 4 else out_ref.shape
-    bits = pltpu.bitcast(pltpu.prng_random_bits((bm, d, d)), jnp.uint32)
-    # uniform in (0, 1): top 24 bits via logical shift on uint32, then a
-    # detour through int32 (mosaic lacks a direct uint32->f32 cast; the
-    # shifted values are < 2^24 so the int32 reinterpretation is positive)
-    top = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-    u = top.astype(jnp.float32) * (1.0 / (1 << 24)) + 0.5 / (1 << 24)
-    eps = jnp.log(u) - jnp.log1p(-u)  # Logistic(0, 1)
+        scores = scores_ref[0]  # [d, d]
+        bm, d, _ = out_ref.shape[1:4] if out_ref.ndim == 4 else out_ref.shape
+        bits = pltpu.bitcast(pltpu.prng_random_bits((bm, d, d)), jnp.uint32)
+        # uniform in (0, 1): top 24 bits via logical shift on uint32, then a
+        # detour through int32 (mosaic lacks a direct uint32->f32 cast; the
+        # shifted values are < 2^24 so the int32 reinterpretation is positive)
+        top = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+        u = top.astype(jnp.float32) * (1.0 / (1 << 24)) + 0.5 / (1 << 24)
+        eps = jnp.log(u) - jnp.log1p(-u)  # Logistic(0, 1)
 
-    alpha = alpha_ref[0, 0]
-    tau = tau_ref[0, 0]
-    soft = jax.nn.sigmoid(tau * (eps + alpha * scores[None, :, :]))
+        alpha = alpha_ref[0, 0]
+        logits = eps + alpha * scores[None, :, :]
+        if hard:
+            g = (logits > 0.0).astype(jnp.float32)
+        else:
+            tau = tau_ref[0, 0]
+            g = jax.nn.sigmoid(tau * logits)
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
-    mask = (row != col).astype(soft.dtype)
-    out_ref[0] = soft * mask[None, :, :]
+        row = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+        mask = (row != col).astype(g.dtype)
+        out_ref[0] = g * mask[None, :, :]
+
+    return kernel
+
+
+_gumbel_soft_kernel = _make_gumbel_kernel(hard=False)
+_gumbel_hard_kernel = _make_gumbel_kernel(hard=True)
 
 
 def gumbel_soft_graphs_pallas(scores: jnp.ndarray, seed, alpha, tau,
                               n_samples: int, block_m: int = 8,
-                              interpret: bool = False) -> jnp.ndarray:
-    """Fused Gumbel-softmax graph sampling on TPU.
+                              interpret: bool = False,
+                              hard: bool = False) -> jnp.ndarray:
+    """Fused Gumbel graph sampling on TPU (soft by default, hard Bernoulli
+    with ``hard=True``).
 
     ``scores``: ``[B, d, d]`` edge scores (``d`` must be a multiple of 128 —
     the engine falls back to the XLA path otherwise); ``seed``: int32 scalar;
     ``alpha`` may be traced (annealed). Returns ``[B, n_samples, d, d]``
-    relaxed adjacency samples with zeroed diagonals.
+    adjacency samples with zeroed diagonals.
     """
     b, d, _ = scores.shape
     if n_samples % block_m != 0:
         block_m = 1
     grid = (b, n_samples // block_m)
     return pl.pallas_call(
-        _gumbel_soft_kernel,
+        _gumbel_hard_kernel if hard else _gumbel_soft_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),

@@ -28,7 +28,7 @@ from jax import random
 from dibs_tpu.ops.pallas_kernels import gumbel_soft_graphs_pallas, pallas_enabled
 from dibs_tpu.utils.func import zero_diagonal
 
-__all__ = ["sample_soft_graphs"]
+__all__ = ["sample_soft_graphs", "sample_hard_graphs"]
 
 
 def _key_to_seed(key) -> jnp.ndarray:
@@ -74,3 +74,24 @@ def sample_soft_graphs(scores: jnp.ndarray, key, alpha, tau,
 
     sample.defvjp(fwd, bwd)
     return sample(scores, jnp.asarray(alpha, scores.dtype))
+
+
+def sample_hard_graphs(scores: jnp.ndarray, key, alpha, n_samples: int,
+                       use_pallas: Optional[bool] = None) -> jnp.ndarray:
+    """``[B, d, d]`` scores -> ``[B, n_samples, d, d]`` hard Bernoulli
+    adjacency samples (``G_ij ~ Bernoulli(sigmoid(alpha s_ij))`` via the
+    Gumbel-max identity ``1[eps + alpha s > 0]``). Non-differentiable —
+    used by the REINFORCE and Θ estimators, which treat samples as constants.
+    """
+    b, d, _ = scores.shape
+    if use_pallas is None:
+        use_pallas = pallas_enabled() and d % 128 == 0
+    if use_pallas:
+        out = gumbel_soft_graphs_pallas(
+            jax.lax.stop_gradient(scores), _key_to_seed(key), alpha, 1.0,
+            n_samples, hard=True,
+        )
+        return jax.lax.stop_gradient(out)
+    eps = random.logistic(key, shape=(b, n_samples, d, d))
+    hard = (eps + alpha * jax.lax.stop_gradient(scores)[:, None] > 0.0)
+    return zero_diagonal(hard.astype(jnp.float32))
