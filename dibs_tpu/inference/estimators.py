@@ -75,11 +75,18 @@ class EstimatorConfig:
 
 
 class Estimators(NamedTuple):
-    """Bundle of batched (over particles) estimator callables."""
+    """Bundle of batched (over particles) estimator callables.
+
+    ``fused_grad_both`` is non-None when a model-specialized fused kernel can
+    compute the Z- and Θ-likelihood gradients in one shot (signature
+    ``(zs, thetas, t, key) -> (dz, dtheta)``); the engine prefers it when
+    present.
+    """
 
     eltwise_grad_z_likelihood: Callable
     eltwise_grad_theta_likelihood: Callable
     eltwise_grad_latent_prior: Callable
+    fused_grad_both: Optional[Callable] = None
 
 
 def stable_ratio_grad(log_num: jnp.ndarray, log_den: jnp.ndarray, grads: Any):
@@ -115,6 +122,7 @@ def make_estimators(
     log_joint_prob: Callable,
     x: jnp.ndarray,
     interv_mask: jnp.ndarray,
+    fused_linear_model=None,
 ) -> Estimators:
     """Builds the batched estimator callables for fixed data and models.
 
@@ -127,6 +135,10 @@ def make_estimators(
             ``theta``) for marginal inference
         x: ``[N, d]`` observations (closed over; static across the run)
         interv_mask: ``[N, d]`` intervention indicators
+        fused_linear_model: optional :class:`~dibs_tpu.models.LinearGaussian`
+            instance — enables the fused Pallas sample-and-score path
+            (:mod:`dibs_tpu.inference.fused_linear`) on TPU when ``d`` is a
+            lane multiple and the reparam estimator is selected
     """
 
     # --- Z-likelihood score: REINFORCE (dibs.py:325-391) ---
@@ -275,7 +287,11 @@ def make_estimators(
             gs = sample_soft_graphs(
                 scores, keys[0], alpha, cfg.tau, cfg.n_acyclicity_mc_samples
             )
-            return vmap(vmap(lambda g: acyclic_constr(g, d)))(gs)  # [P, K]
+            # penalty gradient tolerates bf16 multiplies in the power chain
+            # (the exact-h DAG checks in metrics stay at HIGHEST)
+            return vmap(
+                vmap(lambda g: acyclic_constr(g, d, jax.lax.Precision.DEFAULT))
+            )(gs)  # [P, K]
 
         h_vals, vjp_fn = jax.vjp(batched_h, zs)
         (grad_constraint,) = vjp_fn(
@@ -288,8 +304,33 @@ def make_estimators(
             + grad_prior_z
         )
 
+    # --- optional fused Pallas sample-and-score path (LinearGaussian) ---
+
+    fused_grad_both = None
+    if fused_linear_model is not None and cfg.grad_estimator_z == "reparam":
+        from dibs_tpu.inference.fused_linear import (
+            fused_linear_available,
+            fused_linear_estimators,
+        )
+
+        if fused_linear_available(x.shape[-1]):
+
+            def fused_grad_both(zs, thetas, t, key):
+                dscores, dtheta = fused_linear_estimators(
+                    zs=zs, thetas=thetas, x=x, interv_mask=interv_mask,
+                    key=key, alpha=cfg.alpha(t), tau=cfg.tau,
+                    n_samples=cfg.n_grad_mc_samples, model=fused_linear_model,
+                )
+                # chain d/d scores -> d/dZ:  dU = dS V,  dV = dSᵀ U
+                u, v = zs[..., 0], zs[..., 1]
+                du = jnp.einsum("pij,pjk->pik", dscores, v)
+                dv = jnp.einsum("pij,pik->pjk", dscores, u)
+                dz = jnp.stack([du, dv], axis=-1)
+                return dz, dtheta
+
     return Estimators(
         eltwise_grad_z_likelihood=eltwise_grad_z_likelihood,
         eltwise_grad_theta_likelihood=eltwise_grad_theta_likelihood,
         eltwise_grad_latent_prior=eltwise_grad_latent_prior,
+        fused_grad_both=fused_grad_both,
     )

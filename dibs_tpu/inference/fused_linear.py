@@ -1,0 +1,353 @@
+"""Fused sample-and-score estimators for the linear-Gaussian likelihood.
+
+The generic estimator path materializes, per SVGD step, ``P x M`` relaxed and
+hard graph samples of shape ``[d, d]`` plus their masked weight matrices —
+at the d=128 / P=1000 scaling config that is ~8 GB of HBM traffic. This
+module computes the same two MC estimates
+
+    dZ-likelihood  =  Σ_m softmax(ℓ_soft)_m ∇_scores ℓ_soft_m      (reparam)
+    dΘ-likelihood  =  Σ_m softmax(ℓ_hard)_m ∇_Θ      ℓ_hard_m
+
+with a flash-attention-style **two-pass seed-replay** scheme in Pallas:
+
+  * pass 1 regenerates each Gumbel sample from the TPU hardware PRNG in
+    VMEM, scores it (one ``[N, d] @ [d, d]`` MXU matmul per sample), and
+    emits only the ``[P, M]`` log-probabilities;
+  * the softmax weights are formed in XLA (tiny);
+  * pass 2 regenerates the *same* samples from the same seeds and
+    accumulates the weighted gradients ``dscores`` / ``dΘ`` directly in VMEM.
+
+No graph sample, masked weight matrix, or noise tensor ever exists in HBM;
+per-step traffic drops to the ``[P, d, d]`` inputs/outputs. The fused path
+engages automatically for ``JointDiBS`` + ``LinearGaussian`` + reparam on TPU
+when ``d`` is a multiple of 128; correctness against the unfused path is
+validated statistically on hardware (scripts/validate_tpu.py) — the two paths
+use different PRNG streams, so the comparison is distributional.
+
+Math being fused (reference: dibs.py:395-459/:467-551 + linearGaussian.py):
+
+    ℓ(G) = Σ w_nj [ logN(x_nj; (x @ (G ⊙ Θ))_nj, σ) ] + Σ_ij G_ij logN(Θ_ij)
+    ∂ℓ/∂W = xᵀ (x_resid / σ²),  W = G ⊙ Θ
+    ∂ℓ/∂G = Θ ⊙ ∂ℓ/∂W + logpdf(Θ),   ∂ℓ/∂Θ = G ⊙ ∂ℓ/∂W + G ⊙ (μ_e − Θ)/σ_e²
+    ∂G_soft/∂scores = τ α G (1 − G)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS = True
+except ImportError:  # pragma: no cover
+    _PALLAS = False
+
+from dibs_tpu.ops.soft_graphs import _key_to_seed
+
+__all__ = ["fused_linear_estimators", "fused_linear_available"]
+
+_LANE = 128
+_SUB = 8
+
+
+def fused_linear_available(n_vars: int) -> bool:
+    from dibs_tpu.ops.pallas_kernels import pallas_enabled
+
+    return _PALLAS and pallas_enabled() and n_vars % _LANE == 0
+
+
+def _round_up(v, m):
+    return ((v + m - 1) // m) * m
+
+
+def _gen_uniform(shape):
+    """Uniform(0,1) from the hardware PRNG (see pallas_kernels)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    top = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return top.astype(jnp.float32) * (1.0 / (1 << 24)) + 0.5 / (1 << 24)
+
+
+def _gen_noise(shape):
+    """Logistic(0,1) noise from the hardware PRNG (see pallas_kernels)."""
+    u = _gen_uniform(shape)
+    return jnp.log(u) - jnp.log1p(-u)
+
+
+def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
+                 bf16: bool = False):
+    """Builds the pass-1 (scoring) or pass-2 (gradient) kernel body.
+
+    Grid: ``(P,)`` — one cell per particle; the M samples run in an unrolled
+    loop inside the cell so the ``[N, d]`` data block and the per-particle
+    accumulators stay resident in VMEM.
+    """
+    inv_var = 1.0 / obs_noise
+
+    def kernel(*refs):
+        if pass2:
+            (seed_ref, alpha_ref, scores_ref, theta_ref, logpdf_ref,
+             dprior_ref, x_ref, w_ref, wsoft_ref, whard_ref,
+             dscores_ref, dtheta_ref) = refs
+        else:
+            (seed_ref, alpha_ref, scores_ref, theta_ref, logpdf_ref,
+             x_ref, w_ref, lsoft_ref, lhard_ref) = refs
+
+        p_idx = pl.program_id(0)
+        alpha = alpha_ref[0, 0]
+        scores = scores_ref[0]       # [d, d]
+        theta = theta_ref[0]         # [d, d]
+        logpdf_theta = logpdf_ref[0]  # [d, d] edge-prior logpdf of theta
+        x = x_ref[:]                 # [Np, d] (zero-padded rows)
+        w = w_ref[:]                 # [Np, d] observation weights (0/1)
+
+        d = scores.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+        offdiag = (row != col).astype(jnp.float32)
+
+        if pass2:
+            dscores_ref[0] = jnp.zeros_like(dscores_ref[0])
+            dtheta_ref[0] = jnp.zeros_like(dtheta_ref[0])
+            dprior_theta = dprior_ref[0]  # (mu_e - theta)/sig_e^2
+            wsoft_row = wsoft_ref[0, 0, :]  # [m_pad]
+            whard_row = whard_ref[0, 0, :]
+            m_pad = wsoft_row.shape[0]
+        else:
+            m_pad = lsoft_ref.shape[-1]
+        # lane-vector index for scalar gather/scatter (no scalar VMEM access)
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
+
+        log_norm = -0.5 * jnp.log(2.0 * jnp.pi * obs_noise)
+
+        # hoist all per-particle transcendentals out of the sample loop:
+        #   hard:  1[eps + a s > 0]  ==  1[u < sigmoid(a s)]
+        #   soft (tau==1):  sigmoid(eps + a s)  ==  1 / (1 + (1/u - 1) e^{-a s})
+        # so each MC iteration needs only compares/reciprocals on the VPU.
+        fast_soft = tau == 1.0
+        sig_as = jax.nn.sigmoid(alpha * scores)       # [d, d]
+        if fast_soft:
+            exp_neg_as = jnp.exp(-alpha * scores)     # [d, d]
+
+        # seed once per particle; both passes draw the same bit stream in the
+        # same order, so the sample replay stays exact
+        pltpu.prng_seed(seed_ref[0, 0] + p_idx * jnp.int32(1000003))
+
+        def body(m, carry):
+            u = _gen_uniform((2, d, d))
+            if fast_soft:
+                g_soft = offdiag / (1.0 + (1.0 / u[0] - 1.0) * exp_neg_as)
+            else:
+                eps0 = jnp.log(u[0]) - jnp.log1p(-u[0])
+                g_soft = jax.nn.sigmoid(
+                    tau * (eps0 + alpha * scores)
+                ) * offdiag
+            g_hard = (u[1] < sig_as).astype(jnp.float32) * offdiag
+
+            def score(g):
+                w_mat = g * theta
+                if bf16:
+                    means = jnp.dot(
+                        x.astype(jnp.bfloat16), w_mat.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    means = jnp.dot(
+                        x, w_mat, preferred_element_type=jnp.float32
+                    )
+                resid = (x - means) * w
+                ll = jnp.sum(
+                    w * (-0.5 * inv_var * resid * resid + log_norm)
+                ) + jnp.sum(g * logpdf_theta)
+                return ll, resid
+
+            ll_soft, resid_soft = score(g_soft)
+            ll_hard, resid_hard = score(g_hard)
+
+            if not pass2:
+                acc_soft, acc_hard = carry
+                onehot = (lane_idx == m).astype(jnp.float32)
+                acc_soft = acc_soft + onehot * ll_soft
+                acc_hard = acc_hard + onehot * ll_hard
+                return acc_soft, acc_hard
+            else:
+                onehot = (lane_idx[0] == m).astype(jnp.float32)
+                ws = jnp.sum(wsoft_row * onehot)
+                wh = jnp.sum(whard_row * onehot)
+
+                # dW = x^T resid / sigma^2  (resid already includes obs mask)
+                xt_in = x.astype(jnp.bfloat16) if bf16 else x
+                dw_soft = inv_var * jax.lax.dot_general(
+                    xt_in,
+                    resid_soft.astype(jnp.bfloat16) if bf16 else resid_soft,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dg = theta * dw_soft + logpdf_theta
+                # chain through the concrete relaxation to the edge scores
+                dscores_ref[0] += ws * (
+                    tau * alpha * g_soft * (1.0 - g_soft) * dg
+                )
+
+                dw_hard = inv_var * jax.lax.dot_general(
+                    xt_in,
+                    resid_hard.astype(jnp.bfloat16) if bf16 else resid_hard,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dtheta_ref[0] += wh * g_hard * (dw_hard + dprior_theta)
+                return carry
+
+        if pass2:
+            jax.lax.fori_loop(0, n_samples, body, 0)
+        else:
+            zero = jnp.zeros((1, m_pad), jnp.float32)
+            acc_soft, acc_hard = jax.lax.fori_loop(
+                0, n_samples, body, (zero, zero)
+            )
+            lsoft_ref[0] = acc_soft
+            lhard_ref[0] = acc_hard
+
+    return kernel
+
+
+def _particle_specs(d, extra_pass2, n_pad):
+    smem = lambda: pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
+    pdd = lambda: pl.BlockSpec((1, d, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    nd = lambda: pl.BlockSpec((n_pad, d), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    specs = [smem(), smem(), pdd(), pdd(), pdd()]
+    if extra_pass2:
+        specs.append(pdd())
+    specs += [nd(), nd()]
+    return specs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_samples", "tau", "obs_noise", "interpret", "bf16"),
+)
+def _fused_pass1(seed, alpha, scores, theta, logpdf_theta, x_pad, w_pad,
+                 n_samples, tau, obs_noise, interpret=False, bf16=False):
+    p, d, _ = scores.shape
+    n_pad = x_pad.shape[0]
+    kernel = _make_kernel(n_samples, tau, obs_noise, pass2=False, bf16=bf16)
+    m_pad = _round_up(n_samples, _LANE)
+    out_shape = [
+        jax.ShapeDtypeStruct((p, 1, m_pad), jnp.float32),
+        jax.ShapeDtypeStruct((p, 1, m_pad), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    l_soft, l_hard = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=_particle_specs(d, False, n_pad),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(seed, alpha, scores, theta, logpdf_theta, x_pad, w_pad)
+    return l_soft[:, 0, :n_samples], l_hard[:, 0, :n_samples]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_samples", "tau", "obs_noise", "interpret", "bf16"),
+)
+def _fused_pass2(seed, alpha, scores, theta, logpdf_theta, dprior_theta,
+                 x_pad, w_pad, w_soft, w_hard, n_samples, tau, obs_noise,
+                 interpret=False, bf16=False):
+    p, d, _ = scores.shape
+    n_pad = x_pad.shape[0]
+    m_pad = _round_up(n_samples, _LANE)
+    w_soft = jnp.zeros((p, 1, m_pad), jnp.float32).at[:, 0, :n_samples].set(
+        w_soft
+    )
+    w_hard = jnp.zeros((p, 1, m_pad), jnp.float32).at[:, 0, :n_samples].set(
+        w_hard
+    )
+    kernel = _make_kernel(n_samples, tau, obs_noise, pass2=True, bf16=bf16)
+    in_specs = _particle_specs(d, True, n_pad) + [
+        pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, d, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((p, d, d), jnp.float32),
+        jax.ShapeDtypeStruct((p, d, d), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(seed, alpha, scores, theta, logpdf_theta, dprior_theta, x_pad, w_pad,
+      w_soft, w_hard)
+
+
+def fused_linear_estimators(
+    *, zs, thetas, x, interv_mask, key, alpha, tau, n_samples, model,
+    bf16: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Computes ``(d scores [P, d, d], d theta [P, d, d])`` — the fused
+    Z-likelihood (reparam) and Θ-likelihood MC estimates for
+    :class:`~dibs_tpu.models.LinearGaussian`.
+
+    The caller chains ``d scores`` to ``Z`` via
+    ``dU = dS @ V, dV = dSᵀ @ U`` (see the estimator factory).
+    """
+    from dibs_tpu.ops.edges import edge_scores
+
+    p, d, _, _ = zs.shape
+    n_obs = x.shape[0]
+    n_pad = _round_up(max(n_obs, _SUB), _SUB)
+    x_pad = jnp.zeros((n_pad, d), jnp.float32).at[:n_obs].set(x)
+    w_pad = jnp.zeros((n_pad, d), jnp.float32).at[:n_obs].set(
+        1.0 - interv_mask.astype(jnp.float32)
+    )
+
+    scores = edge_scores(zs)
+    sig_e = model.sig_edge
+    mu_e = model.mean_edge
+    logpdf_theta = (
+        -0.5 * jnp.square((thetas - mu_e) / sig_e)
+        - jnp.log(sig_e) - 0.5 * jnp.log(2.0 * jnp.pi)
+    )
+    dprior_theta = (mu_e - thetas) / (sig_e**2)
+
+    seed = _key_to_seed(key).reshape(1, 1)
+    alpha_arr = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+
+    l_soft, l_hard = _fused_pass1(
+        seed, alpha_arr, scores, thetas, logpdf_theta, x_pad, w_pad,
+        n_samples=n_samples, tau=float(tau), obs_noise=float(model.obs_noise),
+        bf16=bf16,
+    )
+    w_soft = jnp.exp(l_soft - logsumexp(l_soft, axis=1, keepdims=True))
+    w_hard = jnp.exp(l_hard - logsumexp(l_hard, axis=1, keepdims=True))
+
+    dscores, dtheta = _fused_pass2(
+        seed, alpha_arr, scores, thetas, logpdf_theta, dprior_theta,
+        x_pad, w_pad, w_soft, w_hard,
+        n_samples=n_samples, tau=float(tau), obs_noise=float(model.obs_noise),
+        bf16=bf16,
+    )
+    return dscores, dtheta

@@ -34,6 +34,7 @@ from dibs_tpu.inference.optimizers import get_optimizer
 from dibs_tpu.inference.transport import joint_transport, marginal_transport
 from dibs_tpu.kernel import AdditiveFrobeniusSEKernel, JointAdditiveFrobeniusSEKernel
 from dibs_tpu.metrics import ParticleDistribution
+from dibs_tpu.models.linear_gaussian import LinearGaussian
 from dibs_tpu.ops import edges as edge_ops
 
 __all__ = ["SVGDState", "DiBS", "MarginalDiBS", "JointDiBS"]
@@ -80,7 +81,8 @@ class DiBS:
                  grad_estimator_z="reparam",
                  score_function_baseline=0.0,
                  latent_prior_std=None,
-                 verbose=False):
+                 verbose=False,
+                 fused_linear_model=None):
         self.x = jnp.asarray(x)
         self.interv_mask = jnp.asarray(interv_mask)
         self.n_vars = self.x.shape[-1]
@@ -104,6 +106,7 @@ class DiBS:
             log_joint_prob=log_joint_prob,
             x=self.x,
             interv_mask=self.interv_mask,
+            fused_linear_model=fused_linear_model,
         )
 
     # --- reference-compatible schedule / latent->graph helpers ---
@@ -459,6 +462,13 @@ class JointDiBS(DiBS):
             score_function_baseline=score_function_baseline,
             latent_prior_std=latent_prior_std,
             verbose=verbose,
+            # model-specialized fused Pallas path (engages on TPU for
+            # lane-aligned d with the reparam estimator)
+            fused_linear_model=(
+                likelihood_model
+                if isinstance(likelihood_model, LinearGaussian)
+                else None
+            ),
         )
         self.likelihood_model = likelihood_model
         self.graph_model = graph_model
@@ -525,13 +535,19 @@ class JointDiBS(DiBS):
             n_particles = z.shape[0]
             key, k_theta, k_lik, k_prior = random.split(state.key, 4)
 
-            dtheta = est.eltwise_grad_theta_likelihood(
-                z, theta, state.t, _split_per_particle(k_theta, n_particles)
-            )
-            dz_lik, sf_baseline = est.eltwise_grad_z_likelihood(
-                z, theta, state.sf_baseline, state.t,
-                _split_per_particle(k_lik, n_particles),
-            )
+            if est.fused_grad_both is not None:
+                # one Pallas two-pass computes both likelihood gradients
+                dz_lik, dtheta = est.fused_grad_both(z, theta, state.t, k_lik)
+                sf_baseline = state.sf_baseline
+            else:
+                dtheta = est.eltwise_grad_theta_likelihood(
+                    z, theta, state.t,
+                    _split_per_particle(k_theta, n_particles),
+                )
+                dz_lik, sf_baseline = est.eltwise_grad_z_likelihood(
+                    z, theta, state.sf_baseline, state.t,
+                    _split_per_particle(k_lik, n_particles),
+                )
             dz_prior = est.eltwise_grad_latent_prior(
                 z, _split_per_particle(k_prior, n_particles), state.t,
                 latent_prior_std,

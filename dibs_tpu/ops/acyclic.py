@@ -39,57 +39,67 @@ import jax.numpy as jnp
 __all__ = ["acyclic_constr", "elwise_acyclic_constr", "matrix_power"]
 
 
-def _mm(a, b):
-    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
-
-
-def matrix_power(m: jnp.ndarray, n: int) -> jnp.ndarray:
-    """``m ** n`` by binary exponentiation with explicit HIGHEST precision.
+def matrix_power(m: jnp.ndarray, n: int,
+                 precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """``m ** n`` by binary exponentiation with explicit matmul precision.
 
     ``n`` must be a static Python int >= 0 (shapes/loop bounds are static
     under jit by construction).
     """
     if n < 0:
         raise ValueError("matrix_power requires n >= 0")
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=precision)
+
     d = m.shape[-1]
     result = jnp.broadcast_to(jnp.eye(d, dtype=m.dtype), m.shape)
     base = m
     while n > 0:
         if n & 1:
-            result = _mm(result, base)
+            result = mm(result, base)
         n >>= 1
         if n:
-            base = _mm(base, base)
+            base = mm(base, base)
     return result
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def acyclic_constr(g: jnp.ndarray, n_vars: int) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def acyclic_constr(g: jnp.ndarray, n_vars: int,
+                   precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
     """Acyclicity penalty ``h(G) = tr[(I + G/d)^d] - d`` for one ``[d, d]`` matrix.
 
     Differentiable w.r.t. ``g`` with an exact closed-form VJP (see module
-    docstring). ``n_vars`` must be static.
+    docstring). ``n_vars`` and ``precision`` must be static.
+
+    ``precision`` controls the power-chain matmuls. The default (HIGHEST,
+    full fp32) is what the DAG-ness checks in the metrics rely on
+    (``h == 0`` exactly for nilpotent binary adjacencies). The *penalty
+    gradient* inside the SVGD prior score tolerates bf16 multiplies
+    (``Precision.DEFAULT``), which run ~6x faster on the MXU — the
+    estimator core uses that.
     """
-    h, _ = _acyclic_fwd_impl(g, n_vars)
+    h, _ = _acyclic_fwd_impl(g, n_vars, precision)
     return h
 
 
-def _acyclic_fwd_impl(g, n_vars):
+def _acyclic_fwd_impl(g, n_vars, precision):
     alpha = 1.0 / n_vars
     m = jnp.eye(n_vars, dtype=g.dtype) + alpha * g
-    p = matrix_power(m, n_vars - 1)
+    p = matrix_power(m, n_vars - 1, precision=precision)
     # tr(M @ P) without forming M @ P: sum of elementwise product with P^T.
     h = jnp.sum(m * p.T) - n_vars
     return h, p
 
 
-def _acyclic_fwd(g, n_vars):
-    h, p = _acyclic_fwd_impl(g, n_vars)
+def _acyclic_fwd(g, n_vars, precision):
+    h, p = _acyclic_fwd_impl(g, n_vars, precision)
     return h, p
 
 
-def _acyclic_bwd(n_vars, p, h_bar):
+def _acyclic_bwd(n_vars, precision, p, h_bar):
     # d h / d G = (1/d) * d * (M^(d-1))^T = (M^(d-1))^T
+    del precision
     return (h_bar * p.T,)
 
 
@@ -99,4 +109,4 @@ acyclic_constr.defvjp(_acyclic_fwd, _acyclic_bwd)
 @functools.partial(jax.jit, static_argnums=(1,))
 def elwise_acyclic_constr(gs: jnp.ndarray, n_vars: int) -> jnp.ndarray:
     """Batched ``h(G)`` over a leading batch dimension: ``[n, d, d] -> [n]``."""
-    return jax.vmap(acyclic_constr, (0, None), 0)(gs, n_vars)
+    return jax.vmap(lambda g: acyclic_constr(g, n_vars), 0, 0)(gs)

@@ -82,6 +82,34 @@ def main():
     ok &= check("reparam grad pallas≈xla (cosine)", corr > 0.95,
                 f"cos {corr:.4f}")
 
+    # --- fused linear-Gaussian estimators: statistical + end-to-end ---
+    from dibs_tpu.inference import JointDiBS
+    from dibs_tpu.models.graph import ScaleFreeDAGDistribution
+    from dibs_tpu.models.linear_gaussian import LinearGaussian
+
+    # d=128 needs d <~ N for identifiable structure: use 512 observations
+    # (the d=128/N=100 scaling benchmark config is throughput-only)
+    d2 = 128
+    sf = ScaleFreeDAGDistribution(d2, n_edges_per_node=2)
+    lin = LinearGaussian(n_vars=d2)
+    kk = random.split(random.PRNGKey(1), 4)
+    g_gt = sf.sample_G(kk[0])
+    th_gt = lin.sample_parameters(key=kk[1], n_vars=d2)
+    x2 = lin.sample_obs(key=kk[2], n_samples=512, g=g_gt, theta=th_gt)
+    dibs = JointDiBS(x=x2, graph_model=sf, likelihood_model=lin,
+                     n_grad_mc_samples=32, n_acyclicity_mc_samples=8)
+    ok &= check("fused path engaged (d=128 linear)",
+                dibs.est.fused_grad_both is not None)
+    gs, thetas = dibs.sample(key=kk[3], n_particles=8, steps=1200)
+
+    from dibs_tpu.metrics import threshold_metrics
+
+    dist = dibs.get_empirical(gs, thetas)
+    auroc = threshold_metrics(dist=dist, g=g_gt)["roc_auc"]
+    ok &= check("fused end-to-end learns structure", auroc > 0.7,
+                f"AUROC {auroc:.3f}, edges {gs.sum(axis=(1, 2))[:3]} "
+                f"(gt {int(g_gt.sum())})")
+
     print("ALL OK" if ok else "FAILURES PRESENT", flush=True)
     return 0 if ok else 1
 
