@@ -170,8 +170,17 @@ def main():
     parser.add_argument("--configs", type=int, nargs="+",
                         default=[1, 2, 3, 4, 5])
     parser.add_argument("--quality", action="store_true")
+    parser.add_argument("--scaling", action="store_true",
+                        help="particle-scaling sweep instead of the configs")
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
+
+    if args.scaling:
+        results = scaling_curve()
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+        return
 
     results = []
     for idx in args.configs:
@@ -183,6 +192,36 @@ def main():
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
+
+
+
+
+def scaling_curve(n_vars=128, particle_counts=(125, 250, 500, 1000, 2000)):
+    """Particle-scaling sweep at the config-5 shape: steps/sec and
+    particle-steps/sec vs P (north-star: linear particle scaling)."""
+    key = random.PRNGKey(123)
+    key, subk = random.split(key)
+    data, gm, lm = make_linear_gaussian_model(
+        key=subk, n_vars=n_vars, graph_prior_str="sf"
+    )
+    dibs = JointDiBS(
+        x=data.x, graph_model=gm, likelihood_model=lm,
+        n_grad_mc_samples=32, n_acyclicity_mc_samples=8,
+    )
+    results = []
+    for n_particles in particle_counts:
+        sps, compile_s = time_steps_per_sec(
+            dibs, n_particles, chunk=5, repeats=2
+        )
+        rec = {
+            "n_particles": n_particles,
+            "steps_per_sec": round(sps, 3),
+            "particle_steps_per_sec": round(sps * n_particles, 1),
+            "compile_s": round(compile_s, 1),
+        }
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+    return results
 
 
 if __name__ == "__main__":
