@@ -123,6 +123,7 @@ def make_estimators(
     x: jnp.ndarray,
     interv_mask: jnp.ndarray,
     fused_linear_model=None,
+    use_pallas=None,
 ) -> Estimators:
     """Builds the batched estimator callables for fixed data and models.
 
@@ -139,6 +140,10 @@ def make_estimators(
             instance — enables the fused Pallas sample-and-score path
             (:mod:`dibs_tpu.inference.fused_linear`) on TPU when ``d`` is a
             lane multiple and the reparam estimator is selected
+        use_pallas: forces the graph samplers on (True) or off (False);
+            ``None`` = auto. The engine passes ``False`` when the particle
+            axis is mesh-sharded — under GSPMD a ``pallas_call`` replicates
+            its operands, defeating the sharding
     """
 
     # --- Z-likelihood score: REINFORCE (dibs.py:325-391) ---
@@ -204,7 +209,8 @@ def make_estimators(
         def batched_logprobs(zs_):
             scores = edge_scores(zs_)
             gs = sample_soft_graphs(
-                scores, key_noise, alpha, cfg.tau, cfg.n_grad_mc_samples
+                scores, key_noise, alpha, cfg.tau, cfg.n_grad_mc_samples,
+                use_pallas=use_pallas,
             )
             return vmap(
                 lambda g_p, th_p: vmap(
@@ -242,7 +248,8 @@ def make_estimators(
         """Pytree of Θ-gradients with leading particle dim."""
         alpha = cfg.alpha(t)
         g_samples = sample_hard_graphs(
-            edge_scores(zs), keys[0], alpha, cfg.n_grad_mc_samples
+            edge_scores(zs), keys[0], alpha, cfg.n_grad_mc_samples,
+            use_pallas=use_pallas,
         )  # [P, M, d, d] — hardware-PRNG Gumbel-max on TPU
 
         def batched_logprobs(thetas_):
@@ -285,7 +292,8 @@ def make_estimators(
         def batched_h(zs_):
             scores = edge_scores(zs_)
             gs = sample_soft_graphs(
-                scores, keys[0], alpha, cfg.tau, cfg.n_acyclicity_mc_samples
+                scores, keys[0], alpha, cfg.tau, cfg.n_acyclicity_mc_samples,
+                use_pallas=use_pallas,
             )
             # penalty gradient tolerates bf16 multiplies in the power chain
             # (the exact-h DAG checks in metrics stay at HIGHEST)

@@ -82,7 +82,8 @@ class DiBS:
                  score_function_baseline=0.0,
                  latent_prior_std=None,
                  verbose=False,
-                 fused_linear_model=None):
+                 fused_linear_model=None,
+                 use_pallas_samplers=None):
         self.x = jnp.asarray(x)
         self.interv_mask = jnp.asarray(interv_mask)
         self.n_vars = self.x.shape[-1]
@@ -107,6 +108,7 @@ class DiBS:
             x=self.x,
             interv_mask=self.interv_mask,
             fused_linear_model=fused_linear_model,
+            use_pallas=use_pallas_samplers,
         )
 
     # --- reference-compatible schedule / latent->graph helpers ---
@@ -270,6 +272,7 @@ class MarginalDiBS(DiBS):
             score_function_baseline=score_function_baseline,
             latent_prior_std=latent_prior_std,
             verbose=verbose,
+            use_pallas_samplers=False if sharding is not None else None,
         )
         self.likelihood_model = likelihood_model
         self.graph_model = graph_model
@@ -280,6 +283,11 @@ class MarginalDiBS(DiBS):
             else get_optimizer(optimizer, optimizer_param)
         )
         self.sharding = sharding
+        if sharding is not None and getattr(self.kernel, "use_pallas", None) is None:
+            # under GSPMD, a pallas_call forces its operands to replicate;
+            # with a sharded particle axis the XLA Gram path partitions
+            # cleanly instead, so pin the kernel to it
+            self.kernel.use_pallas = False
 
         # post-hoc held-out marginal likelihood closures (reference :110-113)
         self.eltwise_log_marginal_likelihood_observ = vmap(
@@ -463,12 +471,15 @@ class JointDiBS(DiBS):
             latent_prior_std=latent_prior_std,
             verbose=verbose,
             # model-specialized fused Pallas path (engages on TPU for
-            # lane-aligned d with the reparam estimator)
+            # lane-aligned d with the reparam estimator; off when the
+            # particle axis is mesh-sharded — see use_pallas_samplers)
             fused_linear_model=(
                 likelihood_model
                 if isinstance(likelihood_model, LinearGaussian)
+                and sharding is None
                 else None
             ),
+            use_pallas_samplers=False if sharding is not None else None,
         )
         self.likelihood_model = likelihood_model
         self.graph_model = graph_model
@@ -479,6 +490,11 @@ class JointDiBS(DiBS):
             else get_optimizer(optimizer, optimizer_param)
         )
         self.sharding = sharding
+        if sharding is not None and getattr(self.kernel, "use_pallas", None) is None:
+            # under GSPMD, a pallas_call forces its operands to replicate;
+            # with a sharded particle axis the XLA Gram path partitions
+            # cleanly instead, so pin the kernel to it
+            self.kernel.use_pallas = False
 
         # post-hoc held-out joint likelihood closures (reference :475-478)
         self.eltwise_log_likelihood_observ = vmap(
