@@ -6,14 +6,24 @@ once by :func:`make_estimators` from a static config and the two model
 callables, so the whole SVGD step traces into a single XLA program.
 
 TPU-native differences from the reference:
-  * the reparameterization and Θ estimators evaluate ``log p`` and its
-    gradient in one pass via ``jax.value_and_grad`` (the reference runs the
-    forward twice: dibs.py:439+447, :518+525);
+  * the reparameterization, Θ, and acyclicity estimators are *one-vjp
+    batched*: with shared MC samples the self-normalized ratio equals a
+    softmax-weighted sum of per-sample gradients, so a single ``jax.vjp``
+    with the weights as cotangents yields every particle's estimate (the
+    reference runs one forward plus M backward passes per particle:
+    dibs.py:439+447, :518+525);
+  * graph samples come from the storage-free samplers in
+    :mod:`dibs_tpu.ops.soft_graphs` (hardware-PRNG Pallas kernels on TPU;
+    no noise tensors stored for the backward pass on any path);
+  * the REINFORCE direction ``∇_Z log p(G|Z)`` uses its closed form (two
+    batched matmuls, :func:`dibs_tpu.ops.edges.grad_latent_log_prob_batch`);
   * the acyclicity constraint gradient goes through the closed-form custom
     VJP in :mod:`dibs_tpu.ops.acyclic` (one extra matmul instead of a
     product-rule chain through ``matrix_power``);
   * the EMA-baseline branch resolves at trace time (``score_function_baseline``
-    is static) instead of a runtime ``lax.cond``.
+    is static) instead of a runtime ``lax.cond``;
+  * for ``LinearGaussian`` on TPU the Z- and Θ-likelihood estimates fuse
+    into one two-pass Pallas kernel (:mod:`dibs_tpu.inference.fused_linear`).
 
 Estimator math (identical to the reference):
 

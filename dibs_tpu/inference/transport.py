@@ -63,9 +63,9 @@ def _se_repulsion(k_mat: jnp.ndarray, factor, values: jnp.ndarray) -> jnp.ndarra
 def marginal_transport(kernel, z: jnp.ndarray, dz: jnp.ndarray) -> jnp.ndarray:
     """Transport ``phi_z`` for Z-only SVGD. Fast path if the kernel supports it."""
     n_particles = z.shape[0]
-    if hasattr(kernel, "matrix") and hasattr(kernel, "grad_factor_z"):
-        k_mat = kernel.matrix(z, z)
-        phi = _driver(k_mat, dz) + _se_repulsion(k_mat, kernel.grad_factor_z(), z)
+    if hasattr(kernel, "matrix_and_grad_factor"):
+        k_mat, factor = kernel.matrix_and_grad_factor(z, z)
+        phi = _driver(k_mat, dz) + _se_repulsion(k_mat, factor, z)
         return -phi / n_particles
     return _marginal_transport_autodiff(kernel, z, dz)
 
@@ -75,14 +75,15 @@ def joint_transport(
 ) -> Tuple[jnp.ndarray, Any]:
     """Transports ``(phi_z, phi_theta)`` for joint (Z, Θ) SVGD."""
     n_particles = z.shape[0]
-    if hasattr(kernel, "component_matrices"):
-        k_z, k_t = kernel.component_matrices(z, theta, z, theta)
+    if hasattr(kernel, "component_matrices_and_factors"):
+        k_z, k_t, c_z, c_t = kernel.component_matrices_and_factors(
+            z, theta, z, theta
+        )
         k_mat = k_z + k_t
 
-        phi_z = _driver(k_mat, dz) + _se_repulsion(k_z, kernel.grad_factor_z(), z)
+        phi_z = _driver(k_mat, dz) + _se_repulsion(k_z, c_z, z)
         phi_z = -phi_z / n_particles
 
-        c_t = kernel.grad_factor_theta()
         phi_theta = tree_map(
             lambda g_leaf, v_leaf: -(
                 _driver(k_mat, g_leaf) + _se_repulsion(k_t, c_t, v_leaf)

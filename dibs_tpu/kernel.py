@@ -37,8 +37,28 @@ def _flatten_rows(tree) -> jnp.ndarray:
     )
 
 
+def _median_bandwidth(sq: jnp.ndarray) -> jnp.ndarray:
+    """Median-heuristic bandwidth ``med(sq) / log(P)`` (Liu & Wang 2016).
+
+    An *extension* over the reference, which only supports fixed bandwidths
+    (kernel.py:16,46); select with ``h="median"``. Clamped away from zero
+    for the degenerate all-identical-particles case.
+    """
+    p = sq.shape[0]
+    med = jnp.median(sq)
+    return jnp.maximum(med / jnp.log(p + 1.0), 1e-5)
+
+
 def _se_matrix(xs, ys, h, scale, use_pallas):
-    """SE kernel matrix with automatic Pallas/XLA dispatch."""
+    """SE kernel matrix with automatic Pallas/XLA dispatch.
+
+    ``h`` may be a fixed float (reference behavior) or ``"median"`` for the
+    per-step median heuristic (always computed on the XLA path — it needs
+    the materialized distance matrix).
+    """
+    if h == "median":
+        sq = pytree_sq_norm_matrix(xs, ys)
+        return scale * jnp.exp(-sq / _median_bandwidth(sq))
     if use_pallas is None:
         use_pallas = pallas_enabled()
     if use_pallas:
@@ -62,12 +82,27 @@ class AdditiveFrobeniusSEKernel:
 
     def eval(self, *, x, y):
         """Single-pair kernel value (reference-compatible signature)."""
+        if isinstance(self.h, str):
+            raise TypeError(
+                "h='median' needs the particle batch; use matrix()/the "
+                "engine's batched path, not single-pair eval()."
+            )
         return self.scale * jnp.exp(-jnp.sum((x - y) ** 2.0) / self.h)
 
     def matrix(self, xs, ys):
         """Pairwise kernel matrix ``[A, B]``: fused Pallas kernel on TPU,
         Gram-form XLA matmul elsewhere."""
         return _se_matrix(xs, ys, self.h, self.scale, self.use_pallas)
+
+    def matrix_and_grad_factor(self, xs, ys):
+        """``(K, c)`` with ``∇_x k(x, y) = c * k(x, y) * (x - y)`` — the pair
+        the SVGD transport consumes (``c`` reflects the effective bandwidth,
+        including the median heuristic)."""
+        if self.h == "median":
+            sq = pytree_sq_norm_matrix(xs, ys)
+            h_eff = _median_bandwidth(sq)
+            return self.scale * jnp.exp(-sq / h_eff), -2.0 / h_eff
+        return self.matrix(xs, ys), -2.0 / self.h
 
     def grad_factor_z(self):
         """Scalar ``c`` such that ``∇_x k(x, y) = c * k(x, y) * (x - y)``."""
@@ -95,12 +130,35 @@ class JointAdditiveFrobeniusSEKernel:
 
     def eval(self, *, x_latent, x_theta, y_latent, y_theta):
         """Single-pair kernel value (reference-compatible signature)."""
+        if isinstance(self.h_latent, str) or isinstance(self.h_theta, str):
+            raise TypeError(
+                "h='median' needs the particle batch; use the engine's "
+                "batched path, not single-pair eval()."
+            )
         latent_sq = jnp.sum((x_latent - y_latent) ** 2.0)
         theta_sq = squared_norm_pytree(x_theta, y_theta)
         return (
             self.scale_latent * jnp.exp(-latent_sq / self.h_latent)
             + self.scale_theta * jnp.exp(-theta_sq / self.h_theta)
         )
+
+    def component_matrices_and_factors(self, x_latents, x_thetas, y_latents,
+                                       y_thetas):
+        """``(K_z, K_theta, c_z, c_theta)`` — matrices plus the repulsion
+        factors at the effective (possibly median-heuristic) bandwidths."""
+
+        def component(xs, ys, h, scale):
+            if h == "median":
+                sq = pytree_sq_norm_matrix(xs, ys)
+                h_eff = _median_bandwidth(sq)
+                return scale * jnp.exp(-sq / h_eff), -2.0 / h_eff
+            return _se_matrix(xs, ys, h, scale, self.use_pallas), -2.0 / h
+
+        k_z, c_z = component(x_latents, y_latents, self.h_latent,
+                             self.scale_latent)
+        k_t, c_t = component(x_thetas, y_thetas, self.h_theta,
+                             self.scale_theta)
+        return k_z, k_t, c_z, c_t
 
     def component_matrices(self, x_latents, x_thetas, y_latents, y_thetas):
         """Returns ``(K_z, K_theta)`` pairwise component matrices ``[A, B]``."""

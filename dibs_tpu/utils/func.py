@@ -80,7 +80,11 @@ def pytree_sq_norm_matrix(xs, ys) -> jnp.ndarray:
 
 def masked_logdet_pd(m: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Log-determinant of a masked submatrix of a *positive-definite* matrix
-    via Cholesky — the TPU fast path used by the BGe score.
+    via Cholesky.
+
+    Reference implementation — the BGe hot path uses the faster
+    Gaussian-elimination engine in :mod:`dibs_tpu.ops.logdet`, which is
+    property-tested against this and :func:`masked_slogdet`.
 
     The masked matrix ``s sᵀ ⊙ M + (I − diag(s)²)`` is positive definite for
     any PD ``M`` and soft selector ``s ∈ [0, 1]``:

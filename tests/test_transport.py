@@ -74,6 +74,39 @@ def test_kernel_matrix_matches_pairwise_eval():
             )
 
 
+def test_median_heuristic_bandwidth():
+    """h='median' (extension): transport matches a fixed-h run at the
+    realized median bandwidth."""
+    import jax.numpy as jnp2
+
+    from dibs_tpu.kernel import _median_bandwidth
+    from dibs_tpu.utils.func import pytree_sq_norm_matrix
+
+    key = random.PRNGKey(5)
+    k1, k2 = random.split(key)
+    z = random.normal(k1, (6, 4, 3, 2))
+    dz = random.normal(k2, (6, 4, 3, 2))
+
+    sq = pytree_sq_norm_matrix(z, z)
+    h_eff = float(_median_bandwidth(sq))
+
+    phi_median = marginal_transport(AdditiveFrobeniusSEKernel(h="median"), z, dz)
+    phi_fixed = marginal_transport(AdditiveFrobeniusSEKernel(h=h_eff), z, dz)
+    assert jnp2.allclose(phi_median, phi_fixed, atol=1e-5)
+
+    # joint kernel accepts median for either component
+    kj = JointAdditiveFrobeniusSEKernel(h_latent="median", h_theta=500.0)
+    theta = random.normal(k1, (6, 4, 4))
+    dtheta = random.normal(k2, (6, 4, 4))
+    pz, pt = joint_transport(kj, z, theta, dz, dtheta)
+    assert jnp2.isfinite(pz).all() and jnp2.isfinite(pt).all()
+
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        AdditiveFrobeniusSEKernel(h="median").eval(x=z[0], y=z[1])
+
+
 def test_custom_kernel_falls_back_to_autodiff():
     """A user kernel with only `.eval` must still work (reference contract)."""
 
