@@ -80,14 +80,21 @@ def _gen_noise(shape):
 
 
 def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
-                 bf16: bool = False):
+                 bf16: bool = False, block_m: int = 8):
     """Builds the pass-1 (scoring) or pass-2 (gradient) kernel body.
 
-    Grid: ``(P,)`` — one cell per particle; the M samples run in an unrolled
-    loop inside the cell so the ``[N, d]`` data block and the per-particle
-    accumulators stay resident in VMEM.
+    Grid: ``(P,)`` — one cell per particle. Samples are processed
+    ``block_m`` at a time in a fully 2-D "wide" layout: a group's graphs /
+    weights live as ``[d, block_m*d]`` blocks concatenated along lanes, so
+    the scoring matmul is one ``[N, d] @ [d, block_m*d]`` (full MXU
+    utilization), per-sample reductions become indicator matmuls, and no 3-D
+    transposes/reshapes ever reach the mosaic compiler.
     """
     inv_var = 1.0 / obs_noise
+    if n_samples % block_m != 0:
+        block_m = 1
+    bm = block_m
+    n_groups = n_samples // bm
 
     def kernel(*refs):
         if pass2:
@@ -107,108 +114,140 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
         w = w_ref[:]                 # [Np, d] observation weights (0/1)
 
         d = scores.shape[-1]
+        wd = bm * d  # wide lane dimension
+
+        def tile(a):
+            """[d, d] -> [d, bm*d] by lane-concatenating bm copies."""
+            return jnp.concatenate([a] * bm, axis=1)
+
         row = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
-        offdiag = (row != col).astype(jnp.float32)
+        offdiag_t = tile((row != col).astype(jnp.float32))  # [d, wd]
+
+        # indicator matrices (2-D iota only):
+        #   blk_of[k] = k // d   (which sample a wide lane belongs to)
+        #   B  [wd, bm]: lane k -> one-hot of its sample      (block reduce)
+        #   S  [wd, d] : lane k -> one-hot of k % d           (block sum)
+        lanes_w_b = jax.lax.broadcasted_iota(jnp.int32, (wd, bm), 0)
+        sample_b = jax.lax.broadcasted_iota(jnp.int32, (wd, bm), 1)
+        b_mat = (lanes_w_b // d == sample_b).astype(jnp.float32)
+        lanes_w_d = jax.lax.broadcasted_iota(jnp.int32, (wd, d), 0)
+        within_d = jax.lax.broadcasted_iota(jnp.int32, (wd, d), 1)
+        s_mat = (lanes_w_d % d == within_d).astype(jnp.float32)
 
         if pass2:
             dscores_ref[0] = jnp.zeros_like(dscores_ref[0])
             dtheta_ref[0] = jnp.zeros_like(dtheta_ref[0])
-            dprior_theta = dprior_ref[0]  # (mu_e - theta)/sig_e^2
-            wsoft_row = wsoft_ref[0, 0, :]  # [m_pad]
-            whard_row = whard_ref[0, 0, :]
-            m_pad = wsoft_row.shape[0]
+            dprior_t = tile(dprior_ref[0])  # (mu_e - theta)/sig_e^2, wide
+            wsoft_row = wsoft_ref[0, :, :]  # [1, m_pad]
+            whard_row = whard_ref[0, :, :]
+            m_pad = wsoft_row.shape[-1]
         else:
             m_pad = lsoft_ref.shape[-1]
-        # lane-vector index for scalar gather/scatter (no scalar VMEM access)
-        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
+        lane_m = jax.lax.broadcasted_iota(jnp.int32, (bm, m_pad), 1)
+        grp_row = jax.lax.broadcasted_iota(jnp.int32, (bm, m_pad), 0)
 
         log_norm = -0.5 * jnp.log(2.0 * jnp.pi * obs_noise)
 
         # hoist all per-particle transcendentals out of the sample loop:
         #   hard:  1[eps + a s > 0]  ==  1[u < sigmoid(a s)]
         #   soft (tau==1):  sigmoid(eps + a s)  ==  1 / (1 + (1/u - 1) e^{-a s})
-        # so each MC iteration needs only compares/reciprocals on the VPU.
         fast_soft = tau == 1.0
-        sig_as = jax.nn.sigmoid(alpha * scores)       # [d, d]
+        sig_as_t = tile(jax.nn.sigmoid(alpha * scores))
         if fast_soft:
-            exp_neg_as = jnp.exp(-alpha * scores)     # [d, d]
+            exp_neg_t = tile(jnp.exp(-alpha * scores))
+        else:
+            alpha_scores_t = tile(alpha * scores)
+        theta_t = tile(theta)
+        logpdf_t = tile(logpdf_theta)
+        x_t = jnp.concatenate([x] * bm, axis=1)  # [Np, wd]
+        w_t = jnp.concatenate([w] * bm, axis=1)
 
         # seed once per particle; both passes draw the same bit stream in the
         # same order, so the sample replay stays exact
         pltpu.prng_seed(seed_ref[0, 0] + p_idx * jnp.int32(1000003))
 
-        def body(m, carry):
-            u = _gen_uniform((2, d, d))
+        def cast(a):
+            return a.astype(jnp.bfloat16) if bf16 else a
+
+        def group_score(g_t):
+            """g_t: [d, wd] wide graphs -> (ll [1, bm], resid [Np, wd])."""
+            w_wide = g_t * theta_t
+            means = jnp.dot(cast(x), cast(w_wide),
+                            preferred_element_type=jnp.float32)  # [Np, wd]
+            resid = (x_t - means) * w_t
+            per_lane = jnp.sum(
+                w_t * (-0.5 * inv_var * resid * resid + log_norm),
+                axis=0, keepdims=True,
+            )                                                    # [1, wd]
+            prior_lane = jnp.sum(g_t * logpdf_t, axis=0, keepdims=True)
+            ll = jnp.dot(per_lane + prior_lane, b_mat,
+                         preferred_element_type=jnp.float32)     # [1, bm]
+            return ll, resid
+
+        def body(grp, carry):
+            m0 = grp * bm
+            u = _gen_uniform((2, d, wd))
             if fast_soft:
-                g_soft = offdiag / (1.0 + (1.0 / u[0] - 1.0) * exp_neg_as)
+                g_soft = offdiag_t / (1.0 + (1.0 / u[0] - 1.0) * exp_neg_t)
             else:
                 eps0 = jnp.log(u[0]) - jnp.log1p(-u[0])
-                g_soft = jax.nn.sigmoid(
-                    tau * (eps0 + alpha * scores)
-                ) * offdiag
-            g_hard = (u[1] < sig_as).astype(jnp.float32) * offdiag
+                g_soft = jax.nn.sigmoid(tau * (eps0 + alpha_scores_t)) \
+                    * offdiag_t
+            g_hard = (u[1] < sig_as_t).astype(jnp.float32) * offdiag_t
 
-            def score(g):
-                w_mat = g * theta
-                if bf16:
-                    means = jnp.dot(
-                        x.astype(jnp.bfloat16), w_mat.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32,
-                    )
-                else:
-                    means = jnp.dot(
-                        x, w_mat, preferred_element_type=jnp.float32
-                    )
-                resid = (x - means) * w
-                ll = jnp.sum(
-                    w * (-0.5 * inv_var * resid * resid + log_norm)
-                ) + jnp.sum(g * logpdf_theta)
-                return ll, resid
+            ll_soft, resid_soft = group_score(g_soft)
+            ll_hard, resid_hard = group_score(g_hard)
 
-            ll_soft, resid_soft = score(g_soft)
-            ll_hard, resid_hard = score(g_hard)
+            # [bm, m_pad] one-hot rows for this group's lanes
+            one_hot = (lane_m == (m0 + grp_row)).astype(jnp.float32)
 
             if not pass2:
                 acc_soft, acc_hard = carry
-                onehot = (lane_idx == m).astype(jnp.float32)
-                acc_soft = acc_soft + onehot * ll_soft
-                acc_hard = acc_hard + onehot * ll_hard
+                acc_soft = acc_soft + jnp.dot(
+                    ll_soft, one_hot, preferred_element_type=jnp.float32
+                )
+                acc_hard = acc_hard + jnp.dot(
+                    ll_hard, one_hot, preferred_element_type=jnp.float32
+                )
                 return acc_soft, acc_hard
-            else:
-                onehot = (lane_idx[0] == m).astype(jnp.float32)
-                ws = jnp.sum(wsoft_row * onehot)
-                wh = jnp.sum(whard_row * onehot)
 
-                # dW = x^T resid / sigma^2  (resid already includes obs mask)
-                xt_in = x.astype(jnp.bfloat16) if bf16 else x
-                dw_soft = inv_var * jax.lax.dot_general(
-                    xt_in,
-                    resid_soft.astype(jnp.bfloat16) if bf16 else resid_soft,
+            # gather this group's softmax weights, expand to wide lanes
+            ws = jnp.dot(wsoft_row, one_hot.T,
+                         preferred_element_type=jnp.float32)   # [1, bm]
+            wh = jnp.dot(whard_row, one_hot.T,
+                         preferred_element_type=jnp.float32)
+            ws_lane = jnp.dot(ws, b_mat.T,
+                              preferred_element_type=jnp.float32)  # [1, wd]
+            wh_lane = jnp.dot(wh, b_mat.T,
+                              preferred_element_type=jnp.float32)
+
+            def group_dw(resid):
+                """dW (wide): x^T resid / sigma^2 -> [d, wd]."""
+                return inv_var * jax.lax.dot_general(
+                    cast(x), cast(resid),
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                dg = theta * dw_soft + logpdf_theta
-                # chain through the concrete relaxation to the edge scores
-                dscores_ref[0] += ws * (
-                    tau * alpha * g_soft * (1.0 - g_soft) * dg
-                )
 
-                dw_hard = inv_var * jax.lax.dot_general(
-                    xt_in,
-                    resid_hard.astype(jnp.bfloat16) if bf16 else resid_hard,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                dtheta_ref[0] += wh * g_hard * (dw_hard + dprior_theta)
-                return carry
+            dw_soft = group_dw(resid_soft)
+            dg = theta_t * dw_soft + logpdf_t
+            contrib_s = ws_lane * (tau * alpha * g_soft * (1.0 - g_soft) * dg)
+            dscores_ref[0] += jnp.dot(contrib_s, s_mat,
+                                      preferred_element_type=jnp.float32)
+
+            dw_hard = group_dw(resid_hard)
+            contrib_h = wh_lane * g_hard * (dw_hard + dprior_t)
+            dtheta_ref[0] += jnp.dot(contrib_h, s_mat,
+                                     preferred_element_type=jnp.float32)
+            return carry
 
         if pass2:
-            jax.lax.fori_loop(0, n_samples, body, 0)
+            jax.lax.fori_loop(0, n_groups, body, 0)
         else:
             zero = jnp.zeros((1, m_pad), jnp.float32)
             acc_soft, acc_hard = jax.lax.fori_loop(
-                0, n_samples, body, (zero, zero)
+                0, n_groups, body, (zero, zero)
             )
             lsoft_ref[0] = acc_soft
             lhard_ref[0] = acc_hard

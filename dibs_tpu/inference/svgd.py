@@ -393,7 +393,12 @@ class MarginalDiBS(DiBS):
 
     def resume(self, state: SVGDState, *, steps, callback=None,
                callback_every=None, return_state=False):
-        """Continues a run from a saved state for ``steps`` more steps."""
+        """Continues a run from a saved state for ``steps`` more steps.
+
+        The input state's device buffers are donated to the jitted loop —
+        re-load from a checkpoint (or pass a fresh state) to resume again
+        from the same point.
+        """
         n_dim = state.z.shape[2]
         step_fn = self._make_step(self._resolve_latent_std(n_dim))
         state = self._run_chunks(state, steps, callback, callback_every, step_fn)
@@ -616,7 +621,12 @@ class JointDiBS(DiBS):
 
     def resume(self, state: SVGDState, *, steps, callback=None,
                callback_every=None, return_state=False):
-        """Continues a run from a saved state for ``steps`` more steps."""
+        """Continues a run from a saved state for ``steps`` more steps.
+
+        The input state's device buffers are donated to the jitted loop —
+        re-load from a checkpoint (or pass a fresh state) to resume again
+        from the same point.
+        """
         n_dim = state.z.shape[2]
         step_fn = self._make_step(self._resolve_latent_std(n_dim))
         state = self._run_chunks(state, steps, callback, callback_every, step_fn)

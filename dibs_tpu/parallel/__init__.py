@@ -45,10 +45,17 @@ def particle_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def _leaf_spec(sharding: NamedSharding, leaf) -> NamedSharding:
-    """Shard the leading axis if divisible, else replicate the leaf."""
+    """Shard the leading (particle) axis if it divides the mesh; replicate
+    everything else.
+
+    Only rank >= 2 leaves are considered particle-major: rank-1 leaves are
+    either tiny per-particle vectors (sf_baseline — replication is free) or
+    things that must never be split (the PRNG key, whose leading dim could
+    coincidentally divide a small mesh).
+    """
     mesh = sharding.mesh
     n_dev = mesh.devices.size
-    if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] % n_dev == 0 \
+    if hasattr(leaf, "ndim") and leaf.ndim >= 2 and leaf.shape[0] % n_dev == 0 \
             and leaf.shape[0] > 0:
         return NamedSharding(mesh, P(PARTICLE_AXIS))
     return NamedSharding(mesh, P())

@@ -106,6 +106,32 @@ def test_sample_obs_roots_are_pure_noise():
         assert abs(float(x[:, j].var()) - 0.1) < 0.03
 
 
+def test_sample_obs_matches_toposort_oracle():
+    """The d-step fixed-point sampler must equal an explicit toposort walk
+    (with the reference's root-nodes-are-pure-noise convention)."""
+    from dibs_tpu.native import graph as native_graph
+
+    d = 5
+    model = _model(d=d, hidden=(3,))
+    theta = model.sample_parameters(key=random.PRNGKey(20), n_vars=d)
+    g = jnp.array(ErdosReniDAGDistribution(d, 1).sample_G(random.PRNGKey(21)))
+    subk = random.PRNGKey(22)
+    x = model.sample_obs(key=subk, n_samples=6, g=g, theta=theta)
+
+    # oracle: same noise (key consumed once), explicit topological order
+    z = jnp.sqrt(model.obs_noise) * random.normal(subk, shape=(6, d))
+    order = native_graph.topological_sort(onp.asarray(g))
+    x_ref = onp.zeros((6, d), dtype=onp.float64)
+    g_np = onp.asarray(g)
+    for j in order:
+        if g_np[:, j].sum() == 0:
+            x_ref[:, j] = onp.asarray(z)[:, j]
+        else:
+            means = model.all_node_means(theta, jnp.asarray(x_ref, jnp.float32), g)
+            x_ref[:, j] = onp.asarray(means)[:, j] + onp.asarray(z)[:, j]
+    assert onp.allclose(onp.asarray(x), x_ref, atol=1e-4)
+
+
 def test_sample_obs_interventions():
     d = 4
     model = _model(d=d)
