@@ -59,6 +59,14 @@ def _split_per_particle(key, n_particles):
     return random.split(key, n_particles)
 
 
+# Upper bound on the steps fused into one device program. Keeps individual
+# XLA executions to ~seconds: very long fori_loop programs can trip runtime
+# watchdogs (observed on tunneled TPU workers), and shorter chunks cost only
+# one host round-trip each (<1% at any benchmarked config). Callback cadence
+# is unaffected — callbacks still fire at ``callback_every`` boundaries.
+_MAX_CHUNK_STEPS = 100
+
+
 class DiBS:
     """Shared backbone: config, models, latent->graph maps, callbacks.
 
@@ -215,7 +223,11 @@ class DiBS:
         callback_every = callback_every or steps
         for t in range(0, steps, callback_every):
             n = min(callback_every, steps - t)
-            state = run_chunk(state, n_steps=n)
+            done = 0
+            while done < n:
+                m = min(_MAX_CHUNK_STEPS, n - done)
+                state = run_chunk(state, n_steps=m)
+                done += m
             if callback:
                 kwargs = dict(dibs=self, t=t + n, zs=state.z)
                 if state.theta is not None:

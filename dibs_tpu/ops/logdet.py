@@ -32,6 +32,22 @@ def _masked_matrix(m, mask):
     return outer * m + (1.0 - outer) * jnp.eye(d, dtype=m.dtype)
 
 
+# Crossover between the elimination loop and XLA's blocked Cholesky: the
+# loop rewrites the full [B, d, d] batch d times (O(d^3) HBM traffic per
+# matrix), so past ~64 variables the factorization wins (measured on v5e:
+# GE 9x faster at d=20, 2.8x at d=50; Cholesky 3.3x faster at d=128).
+_GE_MAX_D = 64
+
+
+def _chol_logdet(a):
+    chol = jnp.linalg.cholesky(a)
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)))
+
+
+def _pd_logdet(a):
+    return _ge_logdet(a) if a.shape[-1] <= _GE_MAX_D else _chol_logdet(a)
+
+
 def _ge_logdet(a):
     """logdet of a PD matrix by unpivoted Gaussian elimination.
 
@@ -62,7 +78,7 @@ def masked_logdet_pd(m: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     Same semantics as the naive ``cholesky``/``slogdet`` formulations
     (property-tested equal); fast path for the BGe hot loop.
     """
-    return _ge_logdet(_masked_matrix(m, mask))
+    return _pd_logdet(_masked_matrix(m, mask))
 
 
 def _fwd(m, mask):
@@ -96,6 +112,12 @@ def _ge_logdet_pair(a):
     unpivoted elimination. Valid because without pivoting the leading-block
     pivots never depend on the last row/column."""
     d = a.shape[-1]
+    if d > _GE_MAX_D:
+        # Cholesky shares the leading-block property: L[:d-1, :d-1] is the
+        # factor of the leading block, so one factorization yields both
+        log_diag = jnp.log(jnp.diagonal(jnp.linalg.cholesky(a)))
+        lead = 2.0 * jnp.sum(log_diag[: d - 1])
+        return lead, lead + 2.0 * log_diag[d - 1]
     idx = jnp.arange(d)
 
     def body(i, carry):

@@ -68,16 +68,16 @@ def test_masked_slogdet_empty_mask():
     assert jnp.allclose(masked_slogdet(m, jnp.zeros(3)), 0.0)
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_masked_logdet_ge_and_pair_match_slogdet(seed):
-    """The Gaussian-elimination logdet ops (BGe hot path) vs the LU oracle."""
+@pytest.mark.parametrize("seed,d", [(0, 7), (1, 7), (2, 7), (0, 70), (1, 70)])
+def test_masked_logdet_ge_and_pair_match_slogdet(seed, d):
+    """The logdet engine (BGe hot path; GE below the crossover, Cholesky
+    above — d=70 exercises the factorization branch) vs the LU oracle."""
     import jax
 
     from dibs_tpu.ops.logdet import masked_logdet_pd as ge_logdet
     from dibs_tpu.ops.logdet import masked_logdet_pd_pair
 
     key = random.PRNGKey(100 + seed)
-    d = 7
     k1, k2, k3 = random.split(key, 3)
     a = random.normal(k1, (d, d))
     m = a @ a.T + d * jnp.eye(d)
