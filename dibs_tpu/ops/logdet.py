@@ -143,12 +143,28 @@ def masked_logdet_pd_pair(m: jnp.ndarray, parents: jnp.ndarray,
     Returns ``(logdet R[Pa, Pa], logdet R[Pa∪j, Pa∪j])`` for parent mask
     ``parents`` (with ``parents[j] == 0``) of node ``j`` given as the one-hot
     ``e_j`` — the two terms of the BGe ``log det`` ratio
-    (linearGaussian.py:109-115 in the reference). Node ``j`` is permuted to
-    the last position so the leading ``(d-1)`` elimination block is exactly
-    the ``Pa``-masked matrix; one pass yields both determinants, halving the
-    dominant BGe cost.
+    (linearGaussian.py:109-115 in the reference). Size-tiered strategy
+    (each tier measured fastest on v5e):
+
+    * ``d <= 32``: node ``j`` is permuted to the last position so the
+      leading ``(d-1)`` elimination block is exactly the ``Pa``-masked
+      matrix — ONE elimination yields both determinants (the [d, d] gather
+      is cheap at this size; 102 vs 54 steps/s on the d=20 benchmark);
+    * ``32 < d <= 64``: two plain eliminations — the permutation gather
+      costs more than the second elimination (128 vs 182 ms at d=50);
+    * ``d > 64``: two Cholesky factorizations (see ``_GE_MAX_D``).
     """
     d = parents.shape[-1]
+    if d > _GE_MAX_D:
+        return (
+            _chol_logdet(_masked_matrix(m, parents)),
+            _chol_logdet(_masked_matrix(m, parents + e_j)),
+        )
+    if d > 32:
+        return (
+            _ge_logdet(_masked_matrix(m, parents)),
+            _ge_logdet(_masked_matrix(m, parents + e_j)),
+        )
     idx = jnp.arange(d)
     perm = jnp.argsort(jnp.where(e_j > 0.5, d, idx))  # j last, others stable
     m_p = m[perm][:, perm]

@@ -68,10 +68,11 @@ def test_masked_slogdet_empty_mask():
     assert jnp.allclose(masked_slogdet(m, jnp.zeros(3)), 0.0)
 
 
-@pytest.mark.parametrize("seed,d", [(0, 7), (1, 7), (2, 7), (0, 70), (1, 70)])
+@pytest.mark.parametrize("seed,d", [(0, 7), (1, 7), (2, 7), (0, 50), (0, 70), (1, 70)])
 def test_masked_logdet_ge_and_pair_match_slogdet(seed, d):
-    """The logdet engine (BGe hot path; GE below the crossover, Cholesky
-    above — d=70 exercises the factorization branch) vs the LU oracle."""
+    """The logdet engine (BGe hot path) vs the LU oracle across all three
+    size tiers: permuted-pair GE (d=7), two-elimination (d=50), and
+    Cholesky (d=70)."""
     import jax
 
     from dibs_tpu.ops.logdet import masked_logdet_pd as ge_logdet
