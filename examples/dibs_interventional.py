@@ -8,7 +8,11 @@ from the score (clamped nodes carry no information about their mechanisms).
 Run: python examples/dibs_interventional.py [--n_vars 30] [--steps 2000]
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 from jax import random

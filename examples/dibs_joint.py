@@ -7,7 +7,11 @@ E-SHD / AUROC / negative log-likelihood for DiBS and DiBS+.
 Run: python examples/dibs_joint.py [--n_vars 20] [--steps 2000]
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from jax import random
 

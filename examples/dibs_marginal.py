@@ -8,7 +8,11 @@ negative marginal log-likelihood for both the empirical (DiBS) and mixture
 Run: python examples/dibs_marginal.py [--n_vars 20] [--steps 2000]
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from jax import random
 
