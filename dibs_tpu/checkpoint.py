@@ -10,6 +10,12 @@ Serialization uses the pytree structure itself: leaves are stored as host
 numpy arrays together with the pickled treedef, which restores the exact
 nested NamedTuple types (SVGDState, optax optimizer states) — something
 generic dict-based checkpointers lose.
+
+.. warning::
+    :func:`load_state` unpickles the treedef, and unpickling can execute
+    arbitrary code — only load checkpoint files you (or your job) wrote.
+    For untrusted or long-term storage use an orbax ``PyTreeCheckpointer``
+    on the same state pytree instead.
 """
 from __future__ import annotations
 

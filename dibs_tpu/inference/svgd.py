@@ -91,7 +91,8 @@ class DiBS:
                  latent_prior_std=None,
                  verbose=False,
                  fused_linear_model=None,
-                 use_pallas_samplers=None):
+                 use_pallas_samplers=None,
+                 sharding=None):
         self.x = jnp.asarray(x)
         self.interv_mask = jnp.asarray(interv_mask)
         self.n_vars = self.x.shape[-1]
@@ -117,6 +118,7 @@ class DiBS:
             interv_mask=self.interv_mask,
             fused_linear_model=fused_linear_model,
             use_pallas=use_pallas_samplers,
+            sharding=sharding,
         )
 
     # --- reference-compatible schedule / latent->graph helpers ---
@@ -229,7 +231,10 @@ class DiBS:
                 state = run_chunk(state, n_steps=m)
                 done += m
             if callback:
-                kwargs = dict(dibs=self, t=t + n, zs=state.z)
+                # report the state's true global step (not the chunk-local
+                # offset) so callbacks see correct iteration/annealing values
+                # when a run was resumed from a checkpoint
+                kwargs = dict(dibs=self, t=int(state.t), zs=state.z)
                 if state.theta is not None:
                     kwargs["thetas"] = state.theta
                 callback(**kwargs)
@@ -284,7 +289,7 @@ class MarginalDiBS(DiBS):
             score_function_baseline=score_function_baseline,
             latent_prior_std=latent_prior_std,
             verbose=verbose,
-            use_pallas_samplers=False if sharding is not None else None,
+            sharding=sharding,
         )
         self.likelihood_model = likelihood_model
         self.graph_model = graph_model
@@ -295,11 +300,10 @@ class MarginalDiBS(DiBS):
             else get_optimizer(optimizer, optimizer_param)
         )
         self.sharding = sharding
-        if sharding is not None and getattr(self.kernel, "use_pallas", None) is None:
-            # under GSPMD, a pallas_call forces its operands to replicate;
-            # with a sharded particle axis the XLA Gram path partitions
-            # cleanly instead, so pin the kernel to it
-            self.kernel.use_pallas = False
+        if sharding is not None and hasattr(self.kernel, "sharding"):
+            # the fused Pallas kernel matrix then runs per shard through
+            # shard_map ([P_local, P] row blocks) instead of replicating
+            self.kernel.sharding = sharding
 
         # post-hoc held-out marginal likelihood closures (reference :110-113)
         self.eltwise_log_marginal_likelihood_observ = vmap(
@@ -487,16 +491,14 @@ class JointDiBS(DiBS):
             score_function_baseline=score_function_baseline,
             latent_prior_std=latent_prior_std,
             verbose=verbose,
-            # model-specialized fused Pallas path (engages on TPU for
-            # lane-aligned d with the reparam estimator; off when the
-            # particle axis is mesh-sharded — see use_pallas_samplers)
+            # model-specialized fused Pallas path (engages on TPU with the
+            # reparam estimator; runs per mesh shard when sharded)
             fused_linear_model=(
                 likelihood_model
                 if isinstance(likelihood_model, LinearGaussian)
-                and sharding is None
                 else None
             ),
-            use_pallas_samplers=False if sharding is not None else None,
+            sharding=sharding,
         )
         self.likelihood_model = likelihood_model
         self.graph_model = graph_model
@@ -507,11 +509,10 @@ class JointDiBS(DiBS):
             else get_optimizer(optimizer, optimizer_param)
         )
         self.sharding = sharding
-        if sharding is not None and getattr(self.kernel, "use_pallas", None) is None:
-            # under GSPMD, a pallas_call forces its operands to replicate;
-            # with a sharded particle axis the XLA Gram path partitions
-            # cleanly instead, so pin the kernel to it
-            self.kernel.use_pallas = False
+        if sharding is not None and hasattr(self.kernel, "sharding"):
+            # the fused Pallas kernel matrix then runs per shard through
+            # shard_map ([P_local, P] row blocks) instead of replicating
+            self.kernel.sharding = sharding
 
         # post-hoc held-out joint likelihood closures (reference :475-478)
         self.eltwise_log_likelihood_observ = vmap(

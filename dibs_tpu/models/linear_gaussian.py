@@ -248,6 +248,10 @@ class LinearGaussian:
         node means at once."""
         from dibs_tpu.config import likelihood_matmul_precision
 
+        # trace-time shape check (reference linearGaussian.py:305)
+        assert x.shape == interv_targets.shape, (
+            f"x {x.shape} and interv_targets {interv_targets.shape} must match"
+        )
         means = jnp.matmul(x, g * theta, precision=likelihood_matmul_precision())
         logpdf = jax_normal.logpdf(x=x, loc=means, scale=jnp.sqrt(self.obs_noise))
         return jnp.sum(jnp.where(interv_targets, 0.0, logpdf))

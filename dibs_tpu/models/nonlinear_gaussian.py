@@ -180,6 +180,10 @@ class DenseNonlinearGaussian:
 
     def log_likelihood(self, *, x, theta, g, interv_targets):
         """Masked Gaussian likelihood over all nodes and observations."""
+        # trace-time shape check (reference nonlinearGaussian.py:288)
+        assert x.shape == interv_targets.shape, (
+            f"x {x.shape} and interv_targets {interv_targets.shape} must match"
+        )
         means = self.all_node_means(theta, x, g)
         logpdf = jax_normal.logpdf(x=x, loc=means, scale=jnp.sqrt(self.obs_noise))
         return jnp.sum(jnp.where(interv_targets, 0.0, logpdf))

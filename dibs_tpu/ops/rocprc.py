@@ -94,7 +94,9 @@ def auc(x, y):
         direction = -1.0
     elif not np.all(dx >= 0):
         raise ValueError("x is neither increasing nor decreasing")
-    return float(direction * np.trapezoid(y, x))
+    # np.trapezoid is numpy >= 2.0; older installs only have np.trapz
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz
+    return float(direction * trapezoid(y, x))
 
 
 def average_precision_score(y_true, y_score):

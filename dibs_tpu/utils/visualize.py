@@ -25,8 +25,10 @@ def visualize_ground_truth(mat, size=4.0):
 def visualize(mats, t=None, save_path=None, n_cols=7, size=2.5, show=False):
     """Grid of particle matrices (edge probabilities in ``[0, 1]``).
 
-    Optionally saves a PNG per call (``save_path/img{t}.png``) so runs can be
-    stitched into GIFs, like the reference.
+    Optionally saves a PNG per call (``save_path/img{t}.png``) and returns the
+    rendered frame as an image array so runs can be stitched into GIFs —
+    same contract as the reference (dibs/utils/visualize.py:21-60). Returns
+    ``None`` when ``save_path`` is not given.
     """
     import matplotlib.pyplot as plt
 
@@ -41,6 +43,7 @@ def visualize(mats, t=None, save_path=None, n_cols=7, size=2.5, show=False):
     for j, ax in enumerate(axes.flatten()):
         if j < len(mats):
             ax.matshow(onp.asarray(mats[j]), vmin=0, vmax=1)
+            ax.set_title(r"$Z^{(" f"{j}" r")}$", pad=3)
         ax.tick_params(axis="both", which="both", length=0)
         plt.setp(ax.get_xticklabels(), visible=False)
         plt.setp(ax.get_yticklabels(), visible=False)
@@ -49,13 +52,20 @@ def visualize(mats, t=None, save_path=None, n_cols=7, size=2.5, show=False):
     if t is not None:
         fig.suptitle(f"iteration {t}", y=1.02)
     plt.tight_layout()
+    img = None
     if save_path is not None:
         import os
 
         os.makedirs(save_path, exist_ok=True)
-        fig.savefig(
-            os.path.join(save_path, f"img{t}.png"), bbox_inches="tight", dpi=100
-        )
+        png = os.path.join(save_path, f"img{t}.png")
+        fig.savefig(png, bbox_inches="tight", dpi=100)
+        try:
+            import imageio
+
+            img = imageio.imread(png)
+        except ImportError:  # imageio optional — matplotlib reads PNGs too
+            img = plt.imread(png)
     if show:
         plt.show()
     plt.close(fig)
+    return img
