@@ -134,6 +134,7 @@ def make_estimators(
     interv_mask: jnp.ndarray,
     fused_linear_model=None,
     use_pallas=None,
+    sharding=None,
 ) -> Estimators:
     """Builds the batched estimator callables for fixed data and models.
 
@@ -151,9 +152,12 @@ def make_estimators(
             (:mod:`dibs_tpu.inference.fused_linear`) on TPU when ``d`` is a
             lane multiple and the reparam estimator is selected
         use_pallas: forces the graph samplers on (True) or off (False);
-            ``None`` = auto. The engine passes ``False`` when the particle
-            axis is mesh-sharded — under GSPMD a ``pallas_call`` replicates
-            its operands, defeating the sharding
+            ``None`` = auto (TPU + lane-aligned shapes)
+        sharding: particle-axis :class:`~jax.sharding.NamedSharding` when the
+            engine runs mesh-sharded — the Pallas samplers and the fused
+            linear path then run per shard via ``shard_map`` with
+            global-index seeding (bitwise equal to the unsharded run)
+            instead of replicating under GSPMD
     """
 
     # --- Z-likelihood score: REINFORCE (dibs.py:325-391) ---
@@ -220,7 +224,7 @@ def make_estimators(
             scores = edge_scores(zs_)
             gs = sample_soft_graphs(
                 scores, key_noise, alpha, cfg.tau, cfg.n_grad_mc_samples,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, sharding=sharding,
             )
             return vmap(
                 lambda g_p, th_p: vmap(
@@ -259,7 +263,7 @@ def make_estimators(
         alpha = cfg.alpha(t)
         g_samples = sample_hard_graphs(
             edge_scores(zs), keys[0], alpha, cfg.n_grad_mc_samples,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, sharding=sharding,
         )  # [P, M, d, d] — hardware-PRNG Gumbel-max on TPU
 
         def batched_logprobs(thetas_):
@@ -303,7 +307,7 @@ def make_estimators(
             scores = edge_scores(zs_)
             gs = sample_soft_graphs(
                 scores, keys[0], alpha, cfg.tau, cfg.n_acyclicity_mc_samples,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, sharding=sharding,
             )
             # penalty gradient tolerates bf16 multiplies in the power chain
             # (the exact-h DAG checks in metrics stay at HIGHEST)
@@ -334,11 +338,25 @@ def make_estimators(
         if fused_linear_available(x.shape[-1]):
 
             def fused_grad_both(zs, thetas, t, key):
-                dscores, dtheta = fused_linear_estimators(
-                    zs=zs, thetas=thetas, x=x, interv_mask=interv_mask,
-                    key=key, alpha=cfg.alpha(t), tau=cfg.tau,
-                    n_samples=cfg.n_grad_mc_samples, model=fused_linear_model,
-                )
+                if sharding is not None:
+                    from dibs_tpu.parallel.shard_ops import (
+                        divides_mesh,
+                        sharded_fused_linear,
+                    )
+                if sharding is not None and divides_mesh(sharding, zs.shape[0]):
+                    dscores, dtheta = sharded_fused_linear(
+                        zs=zs, thetas=thetas, x=x, interv_mask=interv_mask,
+                        key=key, alpha=cfg.alpha(t), tau=cfg.tau,
+                        n_samples=cfg.n_grad_mc_samples,
+                        model=fused_linear_model, sharding=sharding,
+                    )
+                else:
+                    dscores, dtheta = fused_linear_estimators(
+                        zs=zs, thetas=thetas, x=x, interv_mask=interv_mask,
+                        key=key, alpha=cfg.alpha(t), tau=cfg.tau,
+                        n_samples=cfg.n_grad_mc_samples,
+                        model=fused_linear_model,
+                    )
                 # chain d/d scores -> d/dZ:  dU = dS V,  dV = dSᵀ U
                 u, v = zs[..., 0], zs[..., 1]
                 du = jnp.einsum("pij,pjk->pik", dscores, v)

@@ -344,7 +344,7 @@ def _fused_pass2(seed, alpha, scores, theta, logpdf_theta, dprior_theta,
 
 def fused_linear_estimators(
     *, zs, thetas, x, interv_mask, key, alpha, tau, n_samples, model,
-    bf16: bool = False,
+    bf16: bool = False, seed_offset=0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Computes ``(d scores [P, d, d], d theta [P, d, d])`` — the fused
     Z-likelihood (reparam) and Θ-likelihood MC estimates for
@@ -352,6 +352,11 @@ def fused_linear_estimators(
 
     The caller chains ``d scores`` to ``Z`` via
     ``dU = dS @ V, dV = dSᵀ @ U`` (see the estimator factory).
+
+    ``seed_offset`` is the global index of this batch's first particle —
+    nonzero when the caller runs one shard of a mesh-sharded particle axis
+    (see :func:`dibs_tpu.parallel.shard_ops.sharded_fused_linear`), making
+    the sharded run bitwise-identical to the unsharded one.
     """
     from dibs_tpu.ops.edges import edge_scores
 
@@ -372,7 +377,10 @@ def fused_linear_estimators(
     )
     dprior_theta = (mu_e - thetas) / (sig_e**2)
 
-    seed = _key_to_seed(key).reshape(1, 1)
+    seed = (
+        _key_to_seed(key)
+        + jnp.asarray(seed_offset, jnp.int32) * jnp.int32(1000003)
+    ).reshape(1, 1)
     alpha_arr = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
 
     l_soft, l_hard = _fused_pass1(

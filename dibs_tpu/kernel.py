@@ -49,12 +49,17 @@ def _median_bandwidth(sq: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(med / jnp.log(p + 1.0), 1e-5)
 
 
-def _se_matrix(xs, ys, h, scale, use_pallas):
+def _se_matrix(xs, ys, h, scale, use_pallas, sharding=None):
     """SE kernel matrix with automatic Pallas/XLA dispatch.
 
     ``h`` may be a fixed float (reference behavior) or ``"median"`` for the
     per-step median heuristic (always computed on the XLA path — it needs
     the materialized distance matrix).
+
+    With ``sharding`` (mesh-sharded particle axis) the fused Pallas kernel
+    runs per shard via ``shard_map``, producing row blocks ``[P_local, P]``
+    against the all-gathered opposite side instead of replicating both
+    operands under GSPMD (see :mod:`dibs_tpu.parallel.shard_ops`).
     """
     if h == "median":
         sq = pytree_sq_norm_matrix(xs, ys)
@@ -62,7 +67,18 @@ def _se_matrix(xs, ys, h, scale, use_pallas):
     if use_pallas is None:
         use_pallas = pallas_enabled()
     if use_pallas:
-        return fused_se_matrix(_flatten_rows(xs), _flatten_rows(ys), h, scale)
+        x_rows, y_rows = _flatten_rows(xs), _flatten_rows(ys)
+        if sharding is not None:
+            from dibs_tpu.parallel.shard_ops import (
+                divides_mesh,
+                sharded_se_matrix,
+            )
+
+            if divides_mesh(sharding, x_rows.shape[0]):
+                return sharded_se_matrix(
+                    x_rows, y_rows, h, scale, sharding=sharding
+                )
+        return fused_se_matrix(x_rows, y_rows, h, scale)
     return scale * jnp.exp(-pytree_sq_norm_matrix(xs, ys) / h)
 
 
@@ -79,6 +95,7 @@ class AdditiveFrobeniusSEKernel:
         self.h = h
         self.scale = scale
         self.use_pallas = use_pallas  # None = auto (TPU only)
+        self.sharding = None  # set by the engine when mesh-sharded
 
     def eval(self, *, x, y):
         """Single-pair kernel value (reference-compatible signature)."""
@@ -92,7 +109,8 @@ class AdditiveFrobeniusSEKernel:
     def matrix(self, xs, ys):
         """Pairwise kernel matrix ``[A, B]``: fused Pallas kernel on TPU,
         Gram-form XLA matmul elsewhere."""
-        return _se_matrix(xs, ys, self.h, self.scale, self.use_pallas)
+        return _se_matrix(xs, ys, self.h, self.scale, self.use_pallas,
+                          self.sharding)
 
     def matrix_and_grad_factor(self, xs, ys):
         """``(K, c)`` with ``∇_x k(x, y) = c * k(x, y) * (x - y)`` — the pair
@@ -127,6 +145,7 @@ class JointAdditiveFrobeniusSEKernel:
         self.scale_latent = scale_latent
         self.scale_theta = scale_theta
         self.use_pallas = use_pallas  # None = auto (TPU only)
+        self.sharding = None  # set by the engine when mesh-sharded
 
     def eval(self, *, x_latent, x_theta, y_latent, y_theta):
         """Single-pair kernel value (reference-compatible signature)."""
@@ -152,7 +171,8 @@ class JointAdditiveFrobeniusSEKernel:
                 sq = pytree_sq_norm_matrix(xs, ys)
                 h_eff = _median_bandwidth(sq)
                 return scale * jnp.exp(-sq / h_eff), -2.0 / h_eff
-            return _se_matrix(xs, ys, h, scale, self.use_pallas), -2.0 / h
+            return _se_matrix(xs, ys, h, scale, self.use_pallas,
+                              self.sharding), -2.0 / h
 
         k_z, c_z = component(x_latents, y_latents, self.h_latent,
                              self.scale_latent)
@@ -164,10 +184,11 @@ class JointAdditiveFrobeniusSEKernel:
         """Returns ``(K_z, K_theta)`` pairwise component matrices ``[A, B]``."""
         k_z = _se_matrix(
             x_latents, y_latents, self.h_latent, self.scale_latent,
-            self.use_pallas,
+            self.use_pallas, self.sharding,
         )
         k_t = _se_matrix(
-            x_thetas, y_thetas, self.h_theta, self.scale_theta, self.use_pallas
+            x_thetas, y_thetas, self.h_theta, self.scale_theta,
+            self.use_pallas, self.sharding,
         )
         return k_z, k_t
 

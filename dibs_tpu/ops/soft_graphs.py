@@ -41,19 +41,36 @@ def _key_to_seed(key) -> jnp.ndarray:
 
 
 def sample_soft_graphs(scores: jnp.ndarray, key, alpha, tau,
-                       n_samples: int, use_pallas: Optional[bool] = None):
+                       n_samples: int, use_pallas: Optional[bool] = None,
+                       sharding=None):
     """``[B, d, d]`` scores -> ``[B, n_samples, d, d]`` relaxed graph samples.
 
     Differentiable w.r.t. ``scores`` and ``alpha`` (closed-form VJP); the PRNG
     ``key`` and static ``tau`` / ``n_samples`` are not differentiated.
+
+    With ``sharding`` (a particle-axis :class:`~jax.sharding.NamedSharding`)
+    the Pallas path runs per mesh shard via ``shard_map`` with global-index
+    seeding — bitwise identical to the unsharded call (see
+    :mod:`dibs_tpu.parallel.shard_ops`).
     """
     b, d, _ = scores.shape
     if use_pallas is None:
         use_pallas = pallas_enabled() and d % 128 == 0
+    if use_pallas and sharding is not None:
+        from dibs_tpu.parallel.shard_ops import divides_mesh
+
+        use_pallas = divides_mesh(sharding, b)
 
     @jax.custom_vjp
     def sample(s, a):
         if use_pallas:
+            if sharding is not None:
+                from dibs_tpu.parallel.shard_ops import sharded_gumbel_graphs
+
+                return sharded_gumbel_graphs(
+                    s, _key_to_seed(key), a, tau, n_samples,
+                    sharding=sharding,
+                )
             return gumbel_soft_graphs_pallas(
                 s, _key_to_seed(key), a, tau, n_samples
             )
@@ -77,20 +94,35 @@ def sample_soft_graphs(scores: jnp.ndarray, key, alpha, tau,
 
 
 def sample_hard_graphs(scores: jnp.ndarray, key, alpha, n_samples: int,
-                       use_pallas: Optional[bool] = None) -> jnp.ndarray:
+                       use_pallas: Optional[bool] = None,
+                       sharding=None) -> jnp.ndarray:
     """``[B, d, d]`` scores -> ``[B, n_samples, d, d]`` hard Bernoulli
     adjacency samples (``G_ij ~ Bernoulli(sigmoid(alpha s_ij))`` via the
     Gumbel-max identity ``1[eps + alpha s > 0]``). Non-differentiable —
     used by the REINFORCE and Θ estimators, which treat samples as constants.
+    ``sharding``: as in :func:`sample_soft_graphs`.
     """
     b, d, _ = scores.shape
     if use_pallas is None:
         use_pallas = pallas_enabled() and d % 128 == 0
+    if use_pallas and sharding is not None:
+        from dibs_tpu.parallel.shard_ops import divides_mesh
+
+        use_pallas = divides_mesh(sharding, b)
     if use_pallas:
-        out = gumbel_soft_graphs_pallas(
-            jax.lax.stop_gradient(scores), _key_to_seed(key), alpha, 1.0,
-            n_samples, hard=True,
-        )
+        scores_ng = jax.lax.stop_gradient(scores)
+        if sharding is not None:
+            from dibs_tpu.parallel.shard_ops import sharded_gumbel_graphs
+
+            out = sharded_gumbel_graphs(
+                scores_ng, _key_to_seed(key), alpha, 1.0, n_samples,
+                sharding=sharding, hard=True,
+            )
+        else:
+            out = gumbel_soft_graphs_pallas(
+                scores_ng, _key_to_seed(key), alpha, 1.0, n_samples,
+                hard=True,
+            )
         return jax.lax.stop_gradient(out)
     eps = random.logistic(key, shape=(b, n_samples, d, d))
     hard = (eps + alpha * jax.lax.stop_gradient(scores)[:, None] > 0.0)

@@ -27,6 +27,7 @@ __all__ = [
     "particle_sharding",
     "shard_state",
     "make_constraint",
+    "shard_ops",
 ]
 
 PARTICLE_AXIS = "p"

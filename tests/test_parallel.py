@@ -75,3 +75,61 @@ def test_shard_state_layout(target):
     # particle-major leaves are split over the mesh; scalars replicated
     assert len(sharded.z.sharding.device_set) == 8
     assert sharded.z.sharding.is_equivalent_to(sharding, sharded.z.ndim)
+
+
+def test_sharded_se_matrix_matches_unsharded():
+    """shard_map row-block Pallas SE matrix (interpret mode) == plain path."""
+    from dibs_tpu.ops.pallas_kernels import fused_se_matrix
+    from dibs_tpu.parallel.shard_ops import sharded_se_matrix
+
+    key = random.PRNGKey(7)
+    x = random.normal(key, (16, 48))
+    sharding = particle_sharding(make_particle_mesh())
+    ref = fused_se_matrix(x, x, 5.0, 1.0, interpret=True)
+
+    out = jax.jit(
+        lambda a: sharded_se_matrix(
+            a, a, 5.0, 1.0, sharding=sharding, interpret=True
+        )
+    )(jax.device_put(x, sharding))
+    assert out.shape == (16, 16)
+    assert jnp.allclose(out, ref, atol=1e-5), jnp.abs(out - ref).max()
+
+
+def test_sharded_gumbel_seed_offsets():
+    """The shard_map sampler wrapper computes global-index seed offsets.
+
+    The hardware-PRNG kernel itself has no CPU lowering, so this checks the
+    wrapper's mesh plumbing by substituting a deterministic kernel stub.
+    """
+    from unittest import mock
+
+    from dibs_tpu.parallel import shard_ops
+
+    captured = []
+
+    def fake_kernel(scores_blk, seed_blk, alpha, tau, n_samples, hard=False,
+                    interpret=False):
+        # seed_blk already contains the global offset; broadcast it so every
+        # output entry reveals which seed its shard used
+        out = jnp.broadcast_to(
+            seed_blk.astype(jnp.float32),
+            (scores_blk.shape[0], n_samples) + scores_blk.shape[1:],
+        )
+        return out
+
+    sharding = particle_sharding(make_particle_mesh())
+    scores = jnp.zeros((16, 4, 4))
+    with mock.patch(
+        "dibs_tpu.ops.pallas_kernels.gumbel_soft_graphs_pallas", fake_kernel
+    ):
+        out = shard_ops.sharded_gumbel_graphs(
+            jax.device_put(scores, sharding), 3, 1.0, 1.0, 4,
+            sharding=sharding,
+        )
+    # shard s holds particles [2s, 2s+2) and must use seed 3 + 2s * 1000003
+    per_particle = out[:, 0, 0, 0]
+    expected = 3 + (jnp.arange(16) // 2) * 2 * 1000003
+    assert jnp.array_equal(
+        per_particle, expected.astype(jnp.float32)
+    ), per_particle
