@@ -160,6 +160,19 @@ def make_estimators(
             instead of replicating under GSPMD
     """
 
+    if sharding is not None:
+        from dibs_tpu.parallel import constrain_mc as _mc_pin
+
+        def _constrain_mc(gs):
+            """Shards the MC-sample axis of ``[P, M, d, d]`` intermediates
+            over the mesh's ``'mc'`` axis (no-op on a 1-D mesh) — SURVEY
+            §2.4 axis 2. Downstream per-sample scoring partitions over both
+            axes; the softmax / vjp reductions over M become psums."""
+            return _mc_pin(gs, sharding)
+    else:
+        def _constrain_mc(gs):
+            return gs
+
     # --- Z-likelihood score: REINFORCE (dibs.py:325-391) ---
 
     def grad_z_score(single_z, single_theta, sf_baseline, t, key):
@@ -226,6 +239,7 @@ def make_estimators(
                 scores, key_noise, alpha, cfg.tau, cfg.n_grad_mc_samples,
                 use_pallas=use_pallas, sharding=sharding,
             )
+            gs = _constrain_mc(gs)
             return vmap(
                 lambda g_p, th_p: vmap(
                     lambda g: log_joint_prob(g, th_p, x, interv_mask, key_noise)
@@ -261,10 +275,10 @@ def make_estimators(
     def eltwise_grad_theta_likelihood(zs, thetas, t, keys):
         """Pytree of Θ-gradients with leading particle dim."""
         alpha = cfg.alpha(t)
-        g_samples = sample_hard_graphs(
+        g_samples = _constrain_mc(sample_hard_graphs(
             edge_scores(zs), keys[0], alpha, cfg.n_grad_mc_samples,
             use_pallas=use_pallas, sharding=sharding,
-        )  # [P, M, d, d] — hardware-PRNG Gumbel-max on TPU
+        ))  # [P, M, d, d] — hardware-PRNG Gumbel-max on TPU
 
         def batched_logprobs(thetas_):
             return vmap(
@@ -305,10 +319,10 @@ def make_estimators(
 
         def batched_h(zs_):
             scores = edge_scores(zs_)
-            gs = sample_soft_graphs(
+            gs = _constrain_mc(sample_soft_graphs(
                 scores, keys[0], alpha, cfg.tau, cfg.n_acyclicity_mc_samples,
                 use_pallas=use_pallas, sharding=sharding,
-            )
+            ))
             # penalty gradient tolerates bf16 multiplies in the power chain
             # (the exact-h DAG checks in metrics stay at HIGHEST)
             return vmap(
@@ -335,7 +349,19 @@ def make_estimators(
             fused_linear_estimators,
         )
 
-        if fused_linear_available(x.shape[-1]):
+        if not fused_linear_available(x.shape[-1]):
+            import jax as _jax
+
+            if _jax.default_backend() == "tpu":  # pragma: no cover - TPU only
+                import warnings
+
+                warnings.warn(
+                    f"fused linear-Gaussian Pallas path disabled for d="
+                    f"{x.shape[-1]} (supported: 2 <= d <= 384); falling back"
+                    " to the generic estimators — expect lower throughput.",
+                    stacklevel=2,
+                )
+        else:
 
             def fused_grad_both(zs, thetas, t, key):
                 if sharding is not None:

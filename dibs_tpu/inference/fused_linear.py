@@ -19,10 +19,14 @@ with a flash-attention-style **two-pass seed-replay** scheme in Pallas:
 
 No graph sample, masked weight matrix, or noise tensor ever exists in HBM;
 per-step traffic drops to the ``[P, d, d]`` inputs/outputs. The fused path
-engages automatically for ``JointDiBS`` + ``LinearGaussian`` + reparam on TPU
-when ``d`` is a multiple of 128; correctness against the unfused path is
-validated statistically on hardware (scripts/validate_tpu.py) — the two paths
-use different PRNG streams, so the comparison is distributional.
+engages automatically for ``JointDiBS`` + ``LinearGaussian`` + reparam on
+TPU at any ``d`` (round 2): inputs are zero-padded to a sublane multiple
+``dp`` and the per-group lane width ``bm * dp`` is chosen as a lane multiple
+— padding is exact, not approximate, because every padded contribution is
+multiplied by a zero (padded theta / edge-prior logpdf / observation weight).
+Correctness against the unfused path is validated statistically on hardware
+(scripts/validate_tpu.py) — the two paths use different PRNG streams, so the
+comparison is distributional.
 
 Math being fused (reference: dibs.py:395-459/:467-551 + linearGaussian.py):
 
@@ -54,16 +58,42 @@ __all__ = ["fused_linear_estimators", "fused_linear_available"]
 
 _LANE = 128
 _SUB = 8
+# VMEM guard: the widest in-kernel buffers are [d_pad, bm*d_pad] floats; cap
+# d so a handful of them plus the [N_pad, bm*d_pad] data tiles fit in ~16 MB
+_MAX_D = 384
 
 
 def fused_linear_available(n_vars: int) -> bool:
     from dibs_tpu.ops.pallas_kernels import pallas_enabled
 
-    return _PALLAS and pallas_enabled() and n_vars % _LANE == 0
+    return _PALLAS and pallas_enabled() and 2 <= n_vars <= _MAX_D
 
 
 def _round_up(v, m):
     return ((v + m - 1) // m) * m
+
+
+def _pad_plan(d: int, n_samples: int):
+    """Static padding plan: ``(dp, bm, m_total)``.
+
+    ``dp``: d padded to a sublane multiple — possibly further, to the first
+    alignment whose minimal lane-aligned group width ``bm_min * dp`` stays
+    within 1024 lanes (e.g. d=100 pads to 112, not 104: 104 would force a
+    16-sample group = 1664 lanes and overflow VMEM); ``bm``: samples per
+    wide group, grown from the minimum while the width stays <= 1024 lanes;
+    ``m_total``: n_samples padded to a ``bm`` multiple (extra samples get
+    zero softmax weight and are sliced away).
+    """
+    import math
+
+    for align in (8, 16, 32, 64, 128):
+        dp = _round_up(d, align)
+        bm = math.lcm(dp, _LANE) // dp
+        if bm * dp <= 1024:
+            break
+    while 2 * bm * dp <= 1024 and 2 * bm <= _LANE:
+        bm *= 2
+    return dp, bm, _round_up(n_samples, bm)
 
 
 def _gen_uniform(shape):
@@ -271,13 +301,15 @@ def _particle_specs(d, extra_pass2, n_pad):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_samples", "tau", "obs_noise", "interpret", "bf16"),
+    static_argnames=("n_samples", "bm", "tau", "obs_noise", "interpret",
+                     "bf16"),
 )
 def _fused_pass1(seed, alpha, scores, theta, logpdf_theta, x_pad, w_pad,
-                 n_samples, tau, obs_noise, interpret=False, bf16=False):
+                 n_samples, bm, tau, obs_noise, interpret=False, bf16=False):
     p, d, _ = scores.shape
     n_pad = x_pad.shape[0]
-    kernel = _make_kernel(n_samples, tau, obs_noise, pass2=False, bf16=bf16)
+    kernel = _make_kernel(n_samples, tau, obs_noise, pass2=False, bf16=bf16,
+                          block_m=bm)
     m_pad = _round_up(n_samples, _LANE)
     out_shape = [
         jax.ShapeDtypeStruct((p, 1, m_pad), jnp.float32),
@@ -302,21 +334,25 @@ def _fused_pass1(seed, alpha, scores, theta, logpdf_theta, x_pad, w_pad,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_samples", "tau", "obs_noise", "interpret", "bf16"),
+    static_argnames=("n_samples", "n_real", "bm", "tau", "obs_noise",
+                     "interpret", "bf16"),
 )
 def _fused_pass2(seed, alpha, scores, theta, logpdf_theta, dprior_theta,
-                 x_pad, w_pad, w_soft, w_hard, n_samples, tau, obs_noise,
-                 interpret=False, bf16=False):
+                 x_pad, w_pad, w_soft, w_hard, n_samples, n_real, bm, tau,
+                 obs_noise, interpret=False, bf16=False):
     p, d, _ = scores.shape
     n_pad = x_pad.shape[0]
     m_pad = _round_up(n_samples, _LANE)
-    w_soft = jnp.zeros((p, 1, m_pad), jnp.float32).at[:, 0, :n_samples].set(
+    # padded samples (n_real..n_samples) keep weight 0: the kernel replays
+    # them for PRNG-stream alignment but they contribute nothing
+    w_soft = jnp.zeros((p, 1, m_pad), jnp.float32).at[:, 0, :n_real].set(
         w_soft
     )
-    w_hard = jnp.zeros((p, 1, m_pad), jnp.float32).at[:, 0, :n_samples].set(
+    w_hard = jnp.zeros((p, 1, m_pad), jnp.float32).at[:, 0, :n_real].set(
         w_hard
     )
-    kernel = _make_kernel(n_samples, tau, obs_noise, pass2=True, bf16=bf16)
+    kernel = _make_kernel(n_samples, tau, obs_noise, pass2=True, bf16=bf16,
+                          block_m=bm)
     in_specs = _particle_specs(d, True, n_pad) + [
         pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -361,21 +397,30 @@ def fused_linear_estimators(
     from dibs_tpu.ops.edges import edge_scores
 
     p, d, _, _ = zs.shape
+    dp, bm, m_total = _pad_plan(d, n_samples)
     n_obs = x.shape[0]
     n_pad = _round_up(max(n_obs, _SUB), _SUB)
-    x_pad = jnp.zeros((n_pad, d), jnp.float32).at[:n_obs].set(x)
-    w_pad = jnp.zeros((n_pad, d), jnp.float32).at[:n_obs].set(
+    x_pad = jnp.zeros((n_pad, dp), jnp.float32).at[:n_obs, :d].set(x)
+    w_pad = jnp.zeros((n_pad, dp), jnp.float32).at[:n_obs, :d].set(
         1.0 - interv_mask.astype(jnp.float32)
     )
 
-    scores = edge_scores(zs)
+    def pad_dd(a):
+        """[P, d, d] -> [P, dp, dp] zero-padded (exact: every padded-entry
+        contribution is multiplied by a padded zero downstream)."""
+        if dp == d:
+            return a
+        return jnp.zeros((p, dp, dp), jnp.float32).at[:, :d, :d].set(a)
+
+    scores = pad_dd(edge_scores(zs))
     sig_e = model.sig_edge
     mu_e = model.mean_edge
-    logpdf_theta = (
+    logpdf_theta = pad_dd(
         -0.5 * jnp.square((thetas - mu_e) / sig_e)
         - jnp.log(sig_e) - 0.5 * jnp.log(2.0 * jnp.pi)
     )
-    dprior_theta = (mu_e - thetas) / (sig_e**2)
+    dprior_theta = pad_dd((mu_e - thetas) / (sig_e**2))
+    thetas_p = pad_dd(thetas)
 
     seed = (
         _key_to_seed(key)
@@ -384,17 +429,22 @@ def fused_linear_estimators(
     alpha_arr = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
 
     l_soft, l_hard = _fused_pass1(
-        seed, alpha_arr, scores, thetas, logpdf_theta, x_pad, w_pad,
-        n_samples=n_samples, tau=float(tau), obs_noise=float(model.obs_noise),
-        bf16=bf16,
+        seed, alpha_arr, scores, thetas_p, logpdf_theta, x_pad, w_pad,
+        n_samples=m_total, bm=bm, tau=float(tau),
+        obs_noise=float(model.obs_noise), bf16=bf16,
     )
+    l_soft = l_soft[:, :n_samples]
+    l_hard = l_hard[:, :n_samples]
     w_soft = jnp.exp(l_soft - logsumexp(l_soft, axis=1, keepdims=True))
     w_hard = jnp.exp(l_hard - logsumexp(l_hard, axis=1, keepdims=True))
 
     dscores, dtheta = _fused_pass2(
-        seed, alpha_arr, scores, thetas, logpdf_theta, dprior_theta,
+        seed, alpha_arr, scores, thetas_p, logpdf_theta, dprior_theta,
         x_pad, w_pad, w_soft, w_hard,
-        n_samples=n_samples, tau=float(tau), obs_noise=float(model.obs_noise),
-        bf16=bf16,
+        n_samples=m_total, n_real=n_samples, bm=bm, tau=float(tau),
+        obs_noise=float(model.obs_noise), bf16=bf16,
     )
+    if dp != d:
+        dscores = dscores[:, :d, :d]
+        dtheta = dtheta[:, :d, :d]
     return dscores, dtheta

@@ -42,6 +42,13 @@ _BA = 128  # output tile rows
 _BB = 128  # output tile cols
 _BN = 512  # feature-chunk (reduction) tile
 
+# Gumbel-sampler grid-cell seed strides and group size. The per-cell seed is
+# ``seed + b * 1000003 + m * _GROUP_SEED_STRIDE`` (b = particle, m = sample
+# group of _SAMPLE_BLOCK samples); parallel/shard_ops.py relies on these to
+# reproduce global-cell seeds from sharded calls.
+_SAMPLE_BLOCK = 8
+_GROUP_SEED_STRIDE = 7919
+
 
 def pallas_enabled() -> bool:
     """True if the current default backend can run the Pallas kernels."""
@@ -126,7 +133,8 @@ def _make_gumbel_kernel(hard: bool):
         # single-scalar seed (multi-arg prng_seed is unsupported on this
         # backend): decorrelate grid cells with odd multipliers
         pltpu.prng_seed(
-            seed_ref[0, 0] + b * jnp.int32(1000003) + m * jnp.int32(7919)
+            seed_ref[0, 0] + b * jnp.int32(1000003)
+            + m * jnp.int32(_GROUP_SEED_STRIDE)
         )
 
         scores = scores_ref[0]  # [d, d]
@@ -160,7 +168,7 @@ _gumbel_hard_kernel = _make_gumbel_kernel(hard=True)
 
 
 def gumbel_soft_graphs_pallas(scores: jnp.ndarray, seed, alpha, tau,
-                              n_samples: int, block_m: int = 8,
+                              n_samples: int, block_m: int = _SAMPLE_BLOCK,
                               interpret: bool = False,
                               hard: bool = False) -> jnp.ndarray:
     """Fused Gumbel graph sampling on TPU (soft by default, hard Bernoulli

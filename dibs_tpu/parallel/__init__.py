@@ -31,18 +31,58 @@ __all__ = [
 ]
 
 PARTICLE_AXIS = "p"
+MC_AXIS = "mc"
 
 
-def make_particle_mesh(devices=None) -> Mesh:
-    """1-D mesh over all (or the given) devices with axis name ``'p'``."""
+def make_particle_mesh(devices=None, n_mc: int = 1) -> Mesh:
+    """Mesh over all (or the given) devices with a leading particle axis.
+
+    ``n_mc > 1`` adds a second ``'mc'`` axis (SURVEY.md §2.4 axis 2): the
+    Monte-Carlo sample dimension of the gradient estimators is then sharded
+    across it — useful when ``n_grad_mc_samples`` is large relative to the
+    particle count (the estimator intermediates ``[P, M, d, d]`` dominate
+    memory). The SVGD *state* is only ever particle-sharded; MC sharding is
+    internal to a step (softmax/vjp reductions over samples become psums the
+    XLA partitioner inserts).
+    """
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.array(devices), (PARTICLE_AXIS,))
+    devices = np.asarray(devices)
+    if n_mc == 1:
+        return Mesh(devices, (PARTICLE_AXIS,))
+    if devices.size % n_mc:
+        raise ValueError(f"{devices.size} devices not divisible by n_mc={n_mc}")
+    return Mesh(devices.reshape(devices.size // n_mc, n_mc),
+                (PARTICLE_AXIS, MC_AXIS))
 
 
 def particle_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding that splits the leading (particle) axis across the mesh."""
     return NamedSharding(mesh, P(PARTICLE_AXIS))
+
+
+def mc_shard_size(sharding: NamedSharding) -> int:
+    """Extent of the MC mesh axis (1 when the mesh has no ``'mc'`` axis)."""
+    return sharding.mesh.shape.get(MC_AXIS, 1)
+
+
+def constrain_mc(tree: Any, sharding: NamedSharding) -> Any:
+    """Pins ``[P, M, ...]`` estimator intermediates to (particle, mc)
+    sharding — a no-op on a 1-D mesh. Leaves whose M dim does not divide the
+    mc axis are left to the partitioner."""
+    n_mc = mc_shard_size(sharding)
+    if n_mc == 1:
+        return tree
+    mesh = sharding.mesh
+    spec = NamedSharding(mesh, P(PARTICLE_AXIS, MC_AXIS))
+
+    def pin(leaf):
+        if (hasattr(leaf, "ndim") and leaf.ndim >= 2
+                and leaf.shape[1] % n_mc == 0):
+            return jax.lax.with_sharding_constraint(leaf, spec)
+        return leaf
+
+    return jax.tree_util.tree_map(pin, tree)
 
 
 def _leaf_spec(sharding: NamedSharding, leaf) -> NamedSharding:

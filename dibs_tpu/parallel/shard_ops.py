@@ -37,6 +37,8 @@ try:  # moved out of experimental in recent JAX
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
+MC_AXIS = "mc"
+
 __all__ = [
     "particle_axis_name",
     "sharded_gumbel_graphs",
@@ -76,26 +78,47 @@ def sharded_gumbel_graphs(scores, seed, alpha, tau, n_samples, *,
     """Per-shard Pallas Gumbel graph sampling, bitwise equal to unsharded.
 
     ``scores``: ``[P, d, d]`` (particle axis sharded); returns
-    ``[P, n_samples, d, d]`` sharded the same way.
+    ``[P, n_samples, d, d]`` sharded the same way. On a 2-D ``('p', 'mc')``
+    mesh the sample axis is additionally split over ``'mc'`` (each shard
+    generates its global sample-group block — the in-kernel per-group seed
+    stride makes this bitwise equal too), provided the per-shard sample
+    count keeps the kernel's group size; otherwise ``'mc'`` shards compute
+    replicated samples (still correct).
     """
-    from dibs_tpu.ops.pallas_kernels import gumbel_soft_graphs_pallas
+    from dibs_tpu.ops.pallas_kernels import (
+        _GROUP_SEED_STRIDE,
+        _SAMPLE_BLOCK,
+        gumbel_soft_graphs_pallas,
+    )
 
     axis = particle_axis_name(sharding)
     p_local = scores.shape[0] // _mesh_size(sharding, axis)
+    mc_axis = MC_AXIS if sharding.mesh.shape.get(MC_AXIS, 1) > 1 else None
+    n_mc = sharding.mesh.shape.get(MC_AXIS, 1) if mc_axis else 1
+    split_mc = (
+        mc_axis is not None
+        and n_samples % (n_mc * _SAMPLE_BLOCK) == 0
+    )
+    n_local = n_samples // n_mc if split_mc else n_samples
 
     def body(scores_blk, seed_, alpha_, tau_):
         offset = jax.lax.axis_index(axis).astype(jnp.int32) * p_local
         seed_blk = seed_ + offset * jnp.int32(_SEED_STRIDE)
+        if split_mc:
+            groups_local = n_local // _SAMPLE_BLOCK
+            g_off = jax.lax.axis_index(mc_axis).astype(jnp.int32) * groups_local
+            seed_blk = seed_blk + g_off * jnp.int32(_GROUP_SEED_STRIDE)
         return gumbel_soft_graphs_pallas(
-            scores_blk, seed_blk, alpha_, tau_, n_samples,
+            scores_blk, seed_blk, alpha_, tau_, n_local,
             hard=hard, interpret=interpret,
         )
 
+    out_spec = P(axis, mc_axis) if split_mc else P(axis)
     fn = shard_map(
         body,
         mesh=sharding.mesh,
         in_specs=(P(axis), P(), P(), P()),
-        out_specs=P(axis),
+        out_specs=out_spec,
         check_vma=False,  # pallas_call carries no varying-axes info
     )
     return fn(

@@ -133,3 +133,28 @@ def test_sharded_gumbel_seed_offsets():
     assert jnp.array_equal(
         per_particle, expected.astype(jnp.float32)
     ), per_particle
+
+
+def test_mc_axis_sharded_run_matches_unsharded(target):
+    """2-D ('p', 'mc') mesh: MC-sample-axis sharding (SURVEY §2.4 axis 2)
+    leaves the results identical — GSPMD only re-partitions the estimator
+    intermediates; reductions over samples become psums."""
+    data, graph_model, lik_model = target
+    kwargs = dict(
+        x=data.x, graph_model=graph_model, likelihood_model=lik_model,
+        n_grad_mc_samples=8, n_acyclicity_mc_samples=4,
+    )
+    plain = JointDiBS(**kwargs)
+    gs_a, th_a, st_a = plain.sample(
+        key=random.PRNGKey(5), n_particles=4, steps=8, return_state=True
+    )
+
+    mesh2d = make_particle_mesh(n_mc=2)
+    assert mesh2d.shape == {"p": 4, "mc": 2}
+    sharded = JointDiBS(**kwargs, sharding=particle_sharding(mesh2d))
+    gs_b, th_b, st_b = sharded.sample(
+        key=random.PRNGKey(5), n_particles=4, steps=8, return_state=True
+    )
+
+    assert jnp.allclose(st_a.z, st_b.z, atol=1e-4)
+    assert jnp.array_equal(gs_a, gs_b)
