@@ -110,6 +110,79 @@ def main():
                 f"AUROC {auroc:.3f}, edges {gs.sum(axis=(1, 2))[:3]} "
                 f"(gt {int(g_gt.sum())})")
 
+    # --- padded fused path (round 2): unaligned d engages and agrees ---
+    from dibs_tpu.inference.estimators import EstimatorConfig, make_estimators
+    from dibs_tpu.inference.fused_linear import _pad_plan, fused_linear_available
+
+    d3 = 20
+    ok &= check("fused gate accepts unaligned d", fused_linear_available(d3),
+                f"pad plan {_pad_plan(d3, 128)}")
+    sf3 = ScaleFreeDAGDistribution(d3, n_edges_per_node=2)
+    lin3 = LinearGaussian(n_vars=d3)
+    kk3 = random.split(random.PRNGKey(3), 5)
+    g3_gt = sf3.sample_G(kk3[0])
+    th3_gt = lin3.sample_parameters(key=kk3[1], n_vars=d3)
+    x3 = lin3.sample_obs(key=kk3[2], n_samples=100, g=g3_gt, theta=th3_gt)
+    interv3 = jnp.zeros_like(x3, dtype=jnp.int32)
+
+    cfg3 = EstimatorConfig(alpha_linear=0.05, n_grad_mc_samples=1024)
+    est_fused = make_estimators(
+        cfg=cfg3, log_graph_prior=sf3.unnormalized_log_prob_soft,
+        log_joint_prob=lin3.interventional_log_joint_prob,
+        x=x3, interv_mask=interv3, fused_linear_model=lin3,
+    )
+    est_plain = make_estimators(
+        cfg=cfg3, log_graph_prior=sf3.unnormalized_log_prob_soft,
+        log_joint_prob=lin3.interventional_log_joint_prob,
+        x=x3, interv_mask=interv3, fused_linear_model=None,
+    )
+    assert est_fused.fused_grad_both is not None
+    n_p = 4
+    z3 = random.normal(kk3[3], (n_p, d3, d3, 2)) * (1 / jnp.sqrt(d3))
+    th3 = lin3.sample_parameters(key=kk3[4], n_vars=d3, n_particles=n_p)
+    t3 = jnp.array(40.0)
+    kz = random.split(random.PRNGKey(9), n_p)
+    dz_f, dth_f = est_fused.fused_grad_both(z3, th3, t3, kz[0])
+    dth_p = est_plain.eltwise_grad_theta_likelihood(z3, th3, t3, kz)
+    dz_p, _ = est_plain.eltwise_grad_z_likelihood(
+        z3, th3, jnp.zeros(n_p), t3, kz)
+
+    def cos(a, b):
+        a, b = a.reshape(-1), b.reshape(-1)
+        return float(jnp.dot(a, b) / (jnp.linalg.norm(a) * jnp.linalg.norm(b)))
+
+    cz, ct = cos(dz_f, dz_p), cos(dth_f, dth_p)
+    # different PRNG streams -> statistical agreement only (M=1024)
+    ok &= check("padded fused dZ ≈ generic (cosine)", cz > 0.8, f"cos {cz:.3f}")
+    ok &= check("padded fused dΘ ≈ generic (cosine)", ct > 0.8, f"cos {ct:.3f}")
+
+    # --- shard_map wrappers on a 1-device mesh: bitwise equal ---
+    from dibs_tpu.ops.soft_graphs import _key_to_seed
+    from dibs_tpu.parallel import make_particle_mesh, particle_sharding
+    from dibs_tpu.parallel.shard_ops import (
+        sharded_fused_linear,
+        sharded_gumbel_graphs,
+    )
+
+    mesh1 = make_particle_mesh(jax.devices()[:1])
+    sh1 = particle_sharding(mesh1)
+    g_plain = gumbel_soft_graphs_pallas(scores, _key_to_seed(key), 1.0, 1.0, 64)
+    g_shard = sharded_gumbel_graphs(
+        scores, _key_to_seed(key), 1.0, 1.0, 64, sharding=sh1)
+    ok &= check("sharded sampler bitwise == unsharded",
+                bool(jnp.all(g_plain == g_shard)))
+
+    from dibs_tpu.inference.fused_linear import fused_linear_estimators
+
+    ds_a, dt_a = fused_linear_estimators(
+        zs=z3, thetas=th3, x=x3, interv_mask=interv3, key=kz[0],
+        alpha=2.0, tau=1.0, n_samples=128, model=lin3)
+    ds_b, dt_b = sharded_fused_linear(
+        zs=z3, thetas=th3, x=x3, interv_mask=interv3, key=kz[0],
+        alpha=2.0, tau=1.0, n_samples=128, model=lin3, sharding=sh1)
+    ok &= check("sharded fused linear bitwise == unsharded",
+                bool(jnp.all(ds_a == ds_b) and jnp.all(dt_a == dt_b)))
+
     print("ALL OK" if ok else "FAILURES PRESENT", flush=True)
     return 0 if ok else 1
 
