@@ -140,21 +140,42 @@ def main():
     n_p = 4
     z3 = random.normal(kk3[3], (n_p, d3, d3, 2)) * (1 / jnp.sqrt(d3))
     th3 = lin3.sample_parameters(key=kk3[4], n_vars=d3, n_particles=n_p)
-    t3 = jnp.array(40.0)
-    kz = random.split(random.PRNGKey(9), n_p)
-    dz_f, dth_f = est_fused.fused_grad_both(z3, th3, t3, kz[0])
-    dth_p = est_plain.eltwise_grad_theta_likelihood(z3, th3, t3, kz)
-    dz_p, _ = est_plain.eltwise_grad_z_likelihood(
-        z3, th3, jnp.zeros(n_p), t3, kz)
+    # early annealing step: softmax ratio weights stay spread out, so the
+    # MC estimates have usable effective sample size (at late t the weights
+    # concentrate on ~1 sample and even generic-vs-generic across keys has
+    # cosine ~0.2-0.4 — a meaningless comparison)
+    t3 = jnp.array(2.0)
+
+    def avg_over_keys(fn, n_rep=8):
+        outs = None
+        for r in range(n_rep):
+            kz = random.split(random.PRNGKey(100 + r), n_p)
+            o = fn(kz)
+            outs = o if outs is None else jax.tree_util.tree_map(
+                jnp.add, outs, o)
+        return jax.tree_util.tree_map(lambda a: a / n_rep, outs)
+
+    dz_f, dth_f = avg_over_keys(
+        lambda kz: est_fused.fused_grad_both(z3, th3, t3, kz[0]))
+    dth_p = avg_over_keys(
+        lambda kz: est_plain.eltwise_grad_theta_likelihood(z3, th3, t3, kz))
+    dz_p = avg_over_keys(
+        lambda kz: est_plain.eltwise_grad_z_likelihood(
+            z3, th3, jnp.zeros(n_p), t3, kz)[0])
 
     def cos(a, b):
         a, b = a.reshape(-1), b.reshape(-1)
         return float(jnp.dot(a, b) / (jnp.linalg.norm(a) * jnp.linalg.norm(b)))
 
     cz, ct = cos(dz_f, dz_p), cos(dth_f, dth_p)
-    # different PRNG streams -> statistical agreement only (M=1024)
-    ok &= check("padded fused dZ ≈ generic (cosine)", cz > 0.8, f"cos {cz:.3f}")
-    ok &= check("padded fused dΘ ≈ generic (cosine)", ct > 0.8, f"cos {ct:.3f}")
+    # different PRNG streams -> statistical agreement (8x1024 samples).
+    # Measured self-consistency floors (generic vs generic, disjoint keys,
+    # same averaging): dZ ~0.92, dTheta ~0.73 — the ratio estimator's
+    # softmax weights concentrate, so dTheta is intrinsically noisy.
+    ok &= check("padded fused dZ ≈ generic (cosine)", cz > 0.85,
+                f"cos {cz:.3f} (noise floor ~0.92)")
+    ok &= check("padded fused dΘ ≈ generic (cosine)", ct > 0.55,
+                f"cos {ct:.3f} (noise floor ~0.73)")
 
     # --- shard_map wrappers on a 1-device mesh: bitwise equal ---
     from dibs_tpu.ops.soft_graphs import _key_to_seed
