@@ -183,6 +183,13 @@ def make_estimators(
         g_samples = sample_g(p, k_g, cfg.n_grad_mc_samples)
 
         key, k_lik = random.split(key)
+        return _grad_z_score_given_g(
+            single_z, single_theta, sf_baseline, g_samples, t, k_lik
+        )
+
+    def _grad_z_score_given_g(single_z, single_theta, sf_baseline,
+                              g_samples, t, k_lik):
+        alpha = cfg.alpha(t)
         logprobs = vmap(
             lambda g: log_joint_prob(g, single_theta, x, interv_mask, k_lik)
         )(g_samples)
@@ -253,6 +260,21 @@ def make_estimators(
         return grads, baselines
 
     def eltwise_grad_z_score(zs, thetas, baselines, t, keys):
+        from dibs_tpu.ops.pallas_kernels import pallas_enabled
+
+        if use_pallas or (use_pallas is None and pallas_enabled()):
+            # batched hardware-PRNG Bernoulli sampling for the whole
+            # particle batch (Gumbel-max identity gives exactly
+            # Bernoulli(sigmoid(alpha s))); different stream than the XLA
+            # per-particle path, same distribution — see docs/PARITY.md
+            g_all = _constrain_mc(sample_hard_graphs(
+                edge_scores(zs), keys[0], cfg.alpha(t),
+                cfg.n_grad_mc_samples, use_pallas=use_pallas,
+                sharding=sharding,
+            ))
+            return vmap(_grad_z_score_given_g, (0, 0, 0, 0, None, 0), (0, 0))(
+                zs, thetas, baselines, g_all, t, keys
+            )
         return vmap(grad_z_score, (0, 0, 0, None, 0), (0, 0))(
             zs, thetas, baselines, t, keys
         )

@@ -30,6 +30,31 @@ from dibs_tpu.utils.func import zero_diagonal
 
 __all__ = ["sample_soft_graphs", "sample_hard_graphs"]
 
+# VMEM guard for the padded sampler blocks [1, block_m, dp, dp]
+_MAX_SAMPLER_D = 384
+
+
+def _sampler_pad(d: int) -> int:
+    """d padded to a sublane multiple (the kernel block is [bm, dp, dp];
+    padded rows/cols are sliced away by the caller)."""
+    return ((max(d, 2) + 7) // 8) * 8
+
+
+def _pallas_graphs_padded(scores, seed, alpha, tau, n_samples, hard):
+    """Pallas Gumbel sampling at any d: zero-pad scores to a sublane
+    multiple, sample, slice. Padded entries draw their own noise (the
+    PRNG stream depends on the padded shape — documented; any stream is a
+    valid sampler) and are discarded by the slice."""
+    b, d, _ = scores.shape
+    dp = _sampler_pad(d)
+    if dp != d:
+        scores = jnp.zeros((b, dp, dp), scores.dtype).at[:, :d, :d].set(scores)
+    out = gumbel_soft_graphs_pallas(scores, seed, alpha, tau, n_samples,
+                                    hard=hard)
+    if dp != d:
+        out = out[:, :, :d, :d]
+    return out
+
 
 def _key_to_seed(key) -> jnp.ndarray:
     try:
@@ -55,7 +80,7 @@ def sample_soft_graphs(scores: jnp.ndarray, key, alpha, tau,
     """
     b, d, _ = scores.shape
     if use_pallas is None:
-        use_pallas = pallas_enabled() and d % 128 == 0
+        use_pallas = pallas_enabled() and d <= _MAX_SAMPLER_D
     if use_pallas and sharding is not None:
         from dibs_tpu.parallel.shard_ops import divides_mesh
 
@@ -71,8 +96,8 @@ def sample_soft_graphs(scores: jnp.ndarray, key, alpha, tau,
                     s, _key_to_seed(key), a, tau, n_samples,
                     sharding=sharding,
                 )
-            return gumbel_soft_graphs_pallas(
-                s, _key_to_seed(key), a, tau, n_samples
+            return _pallas_graphs_padded(
+                s, _key_to_seed(key), a, tau, n_samples, hard=False
             )
         eps = random.logistic(key, shape=(b, n_samples, d, d))
         return zero_diagonal(jax.nn.sigmoid(tau * (eps + a * s[:, None])))
@@ -104,7 +129,7 @@ def sample_hard_graphs(scores: jnp.ndarray, key, alpha, n_samples: int,
     """
     b, d, _ = scores.shape
     if use_pallas is None:
-        use_pallas = pallas_enabled() and d % 128 == 0
+        use_pallas = pallas_enabled() and d <= _MAX_SAMPLER_D
     if use_pallas and sharding is not None:
         from dibs_tpu.parallel.shard_ops import divides_mesh
 
@@ -119,7 +144,7 @@ def sample_hard_graphs(scores: jnp.ndarray, key, alpha, n_samples: int,
                 sharding=sharding, hard=True,
             )
         else:
-            out = gumbel_soft_graphs_pallas(
+            out = _pallas_graphs_padded(
                 scores_ng, _key_to_seed(key), alpha, 1.0, n_samples,
                 hard=True,
             )

@@ -85,11 +85,8 @@ def sharded_gumbel_graphs(scores, seed, alpha, tau, n_samples, *,
     count keeps the kernel's group size; otherwise ``'mc'`` shards compute
     replicated samples (still correct).
     """
-    from dibs_tpu.ops.pallas_kernels import (
-        _GROUP_SEED_STRIDE,
-        _SAMPLE_BLOCK,
-        gumbel_soft_graphs_pallas,
-    )
+    from dibs_tpu.ops.pallas_kernels import _GROUP_SEED_STRIDE, _SAMPLE_BLOCK
+    from dibs_tpu.ops.soft_graphs import _pallas_graphs_padded
 
     axis = particle_axis_name(sharding)
     p_local = scores.shape[0] // _mesh_size(sharding, axis)
@@ -108,9 +105,8 @@ def sharded_gumbel_graphs(scores, seed, alpha, tau, n_samples, *,
             groups_local = n_local // _SAMPLE_BLOCK
             g_off = jax.lax.axis_index(mc_axis).astype(jnp.int32) * groups_local
             seed_blk = seed_blk + g_off * jnp.int32(_GROUP_SEED_STRIDE)
-        return gumbel_soft_graphs_pallas(
-            scores_blk, seed_blk, alpha_, tau_, n_local,
-            hard=hard, interpret=interpret,
+        return _pallas_graphs_padded(
+            scores_blk, seed_blk, alpha_, tau_, n_local, hard=hard,
         )
 
     out_spec = P(axis, mc_axis) if split_mc else P(axis)

@@ -60,6 +60,28 @@ def main():
     g3 = gumbel_soft_graphs_pallas(scores, 8, 0.0, 1.0, m)
     ok &= check("seed changes samples", not bool(jnp.all(g == g3)))
 
+    # padded sampler at unaligned d (round 2: the d % 128 gate is gone)
+    from dibs_tpu.ops.soft_graphs import _pallas_graphs_padded
+
+    d_u = 20
+    gu = _pallas_graphs_padded(jnp.zeros((3, d_u, d_u)), 7, 0.0, 1.0, m,
+                               hard=False)
+    off_u = gu[:, :, ~jnp.eye(d_u, dtype=bool)]
+    ok &= check("padded sampler shape (d=20)", gu.shape == (3, m, d_u, d_u))
+    ok &= check("padded sampler diagonal zero",
+                bool(jnp.all(gu[:, :, jnp.arange(d_u), jnp.arange(d_u)] == 0)))
+    ok &= check("padded sampler uniform moments",
+                abs(float(off_u.mean()) - 0.5) < 0.01
+                and abs(float(off_u.var()) - 1 / 12) < 0.005,
+                f"mean {float(off_u.mean()):.4f} var {float(off_u.var()):.4f}")
+    gh = _pallas_graphs_padded(jnp.zeros((3, d_u, d_u)), 7, 0.0, 1.0, m,
+                               hard=True)
+    offh = gh[:, :, ~jnp.eye(d_u, dtype=bool)]
+    ok &= check("padded hard sampler Bernoulli(1/2)",
+                bool(jnp.all((gh == 0) | (gh == 1)))
+                and abs(float(offh.mean()) - 0.5) < 0.01,
+                f"mean {float(offh.mean()):.4f}")
+
     # --- downstream gradient: pallas vs XLA noise paths agree statistically ---
     from dibs_tpu.ops.soft_graphs import sample_soft_graphs
 

@@ -111,7 +111,9 @@ def test_sharded_gumbel_seed_offsets():
     def fake_kernel(scores_blk, seed_blk, alpha, tau, n_samples, hard=False,
                     interpret=False):
         # seed_blk already contains the global offset; broadcast it so every
-        # output entry reveals which seed its shard used
+        # output entry reveals which seed its shard used (scores arrive
+        # sublane-padded through _pallas_graphs_padded; the wrapper slices
+        # the padding back off)
         out = jnp.broadcast_to(
             seed_blk.astype(jnp.float32),
             (scores_blk.shape[0], n_samples) + scores_blk.shape[1:],
@@ -121,7 +123,7 @@ def test_sharded_gumbel_seed_offsets():
     sharding = particle_sharding(make_particle_mesh())
     scores = jnp.zeros((16, 4, 4))
     with mock.patch(
-        "dibs_tpu.ops.pallas_kernels.gumbel_soft_graphs_pallas", fake_kernel
+        "dibs_tpu.ops.soft_graphs.gumbel_soft_graphs_pallas", fake_kernel
     ):
         out = shard_ops.sharded_gumbel_graphs(
             jax.device_put(scores, sharding), 3, 1.0, 1.0, 4,
