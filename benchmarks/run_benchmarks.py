@@ -172,11 +172,32 @@ def main():
     parser.add_argument("--quality", action="store_true")
     parser.add_argument("--scaling", action="store_true",
                         help="particle-scaling sweep instead of the configs")
+    parser.add_argument("--sharded", action="store_true",
+                        help="mesh-sharded efficiency sweep instead of the "
+                             "configs (run with "
+                             "XLA_FLAGS=--xla_force_host_platform_device_"
+                             "count=8 JAX_PLATFORMS=cpu for the virtual mesh)")
     parser.add_argument("--out", default=None)
+    parser.add_argument("--device", default=None, choices=["cpu", "tpu"],
+                        help="force a backend; needed because the axon TPU "
+                             "hook overrides JAX_PLATFORMS (use "
+                             "--device cpu together with "
+                             "XLA_FLAGS=--xla_force_host_platform_device_"
+                             "count=8 for the virtual mesh)")
     args = parser.parse_args()
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     if args.scaling:
         results = scaling_curve()
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+        return
+
+    if args.sharded:
+        results = sharded_efficiency()
         if args.out:
             with open(args.out, "w") as f:
                 json.dump(results, f, indent=2)
@@ -218,6 +239,62 @@ def scaling_curve(n_vars=128, particle_counts=(125, 250, 500, 1000, 2000)):
             "steps_per_sec": round(sps, 3),
             "particle_steps_per_sec": round(sps * n_particles, 1),
             "compile_s": round(compile_s, 1),
+        }
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+    return results
+
+
+
+
+def sharded_efficiency(n_vars=32, n_particles=64, n_obs=64):
+    """Mesh-sharded efficiency sweep (VERDICT round-1 item 5).
+
+    Runs the joint linear config with the particle axis sharded over
+    1/2/4/8-device meshes. On the virtual CPU mesh every "device" shares one
+    physical core, so wall-clock *cannot* improve with mesh size; the
+    meaningful number is **efficiency = wall(unsharded) / wall(sharded)**:
+    ~1.0 means the partitioned program does no redundant/replicated work, so
+    per-device work is 1/N and real chips would scale near-linearly. A
+    sharded run that replicated the ``[P, M, d, d]`` estimator intermediates
+    (the round-1 failure mode this guards against) would show efficiency
+    well below 1 here because every virtual device would redo the full batch.
+    """
+    import jax.numpy as jnp  # noqa: F401
+
+    from dibs_tpu.parallel import make_particle_mesh, particle_sharding
+
+    key = random.PRNGKey(123)
+    key, subk = random.split(key)
+    data, gm, lm = make_linear_gaussian_model(
+        key=subk, n_vars=n_vars, graph_prior_str="sf", n_observations=n_obs,
+        n_ho_observations=8,
+    )
+    kwargs = dict(x=data.x, graph_model=gm, likelihood_model=lm,
+                  n_grad_mc_samples=32, n_acyclicity_mc_samples=8)
+
+    results = []
+    base_sps = None
+    n_avail = len(jax.devices())
+    for n_dev in (1, 2, 4, 8):
+        if n_dev > n_avail:
+            break
+        if n_dev == 1:
+            dibs = JointDiBS(**kwargs)
+        else:
+            mesh = make_particle_mesh(jax.devices()[:n_dev])
+            dibs = JointDiBS(**kwargs, sharding=particle_sharding(mesh))
+        sps, compile_s = time_steps_per_sec(dibs, n_particles, chunk=10,
+                                            repeats=2)
+        if base_sps is None:
+            base_sps = sps
+        rec = {
+            "n_devices": n_dev,
+            "config": f"joint_lingauss_d{n_vars}_p{n_particles}_sharded",
+            "steps_per_sec": sps,
+            "efficiency_vs_unsharded": sps / base_sps,
+            "per_device_particles": n_particles // n_dev,
+            "device": str(jax.devices()[0]),
         }
         print(json.dumps(rec), flush=True)
         results.append(rec)

@@ -160,3 +160,32 @@ def test_mc_axis_sharded_run_matches_unsharded(target):
 
     assert jnp.allclose(st_a.z, st_b.z, atol=1e-4)
     assert jnp.array_equal(gs_a, gs_b)
+
+
+def test_sharded_step_memory_not_replicated(target):
+    """The [P, M, d, d] estimator intermediates must be partitioned, not
+    replicated (VERDICT r1 item 3): per-device temp memory of the compiled
+    sharded step must be well under the unsharded step's."""
+    import functools
+
+    data, graph_model, lik_model = target
+    kwargs = dict(
+        x=data.x, graph_model=graph_model, likelihood_model=lik_model,
+        n_grad_mc_samples=64, n_acyclicity_mc_samples=16,
+    )
+    n_particles = 16
+
+    def compiled_temp_bytes(dibs):
+        state = dibs.init_state(key=random.PRNGKey(0),
+                                n_particles=n_particles)
+        step = dibs._make_step(dibs._resolve_latent_std(state.z.shape[2]))
+        compiled = jax.jit(step).lower(state).compile()
+        return compiled.memory_analysis().temp_size_in_bytes
+
+    plain = compiled_temp_bytes(JointDiBS(**kwargs))
+    sharded = compiled_temp_bytes(JointDiBS(
+        **kwargs, sharding=particle_sharding(make_particle_mesh())
+    ))
+    # 8-way particle sharding: expect ~1/8 per-device temps; anything above
+    # half the unsharded footprint means a big intermediate got replicated
+    assert sharded < 0.5 * plain, (sharded, plain)
