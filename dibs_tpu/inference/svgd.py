@@ -347,9 +347,12 @@ class MarginalDiBS(DiBS):
     def _make_step(self, latent_prior_std) -> Callable[[SVGDState], SVGDState]:
         est, kernel, opt = self.est, self.kernel, self.opt
         constrain = None
+        ring = False
         if self.sharding is not None:
             from dibs_tpu.parallel import make_constraint
+            from dibs_tpu.parallel.ring import ring_available
             constrain = make_constraint(self.sharding)
+            ring = ring_available(kernel, self.sharding)
 
         def step(state: SVGDState) -> SVGDState:
             z = state.z
@@ -368,7 +371,11 @@ class MarginalDiBS(DiBS):
             if constrain is not None:
                 dz = constrain(dz)
 
-            phi_z = marginal_transport(kernel, z, dz)
+            if ring and n_particles % self.sharding.mesh.devices.size == 0:
+                from dibs_tpu.parallel.ring import ring_marginal_transport
+                phi_z = ring_marginal_transport(kernel, z, dz, self.sharding)
+            else:
+                phi_z = marginal_transport(kernel, z, dz)
             updates, opt_state_z = opt.update(phi_z, state.opt_state_z, z)
             z_new = optax.apply_updates(z, updates)
             if constrain is not None:
@@ -560,9 +567,12 @@ class JointDiBS(DiBS):
     def _make_step(self, latent_prior_std) -> Callable[[SVGDState], SVGDState]:
         est, kernel, opt = self.est, self.kernel, self.opt
         constrain = None
+        ring = False
         if self.sharding is not None:
             from dibs_tpu.parallel import make_constraint
+            from dibs_tpu.parallel.ring import ring_available
             constrain = make_constraint(self.sharding)
+            ring = ring_available(kernel, self.sharding)
 
         def step(state: SVGDState) -> SVGDState:
             z, theta = state.z, state.theta
@@ -590,7 +600,14 @@ class JointDiBS(DiBS):
             if constrain is not None:
                 dz = constrain(dz)
 
-            phi_z, phi_theta = joint_transport(kernel, z, theta, dz, dtheta)
+            if ring and n_particles % self.sharding.mesh.devices.size == 0:
+                from dibs_tpu.parallel.ring import ring_joint_transport
+                phi_z, phi_theta = ring_joint_transport(
+                    kernel, z, theta, dz, dtheta, self.sharding
+                )
+            else:
+                phi_z, phi_theta = joint_transport(kernel, z, theta, dz,
+                                                   dtheta)
 
             updates_z, opt_state_z = opt.update(phi_z, state.opt_state_z, z)
             z_new = optax.apply_updates(z, updates_z)

@@ -189,3 +189,39 @@ def test_sharded_step_memory_not_replicated(target):
     # 8-way particle sharding: expect ~1/8 per-device temps; anything above
     # half the unsharded footprint means a big intermediate got replicated
     assert sharded < 0.5 * plain, (sharded, plain)
+
+
+def test_ring_transport_matches_plain(target):
+    """Ring-blockwise transport == all-gather transport (summation order)."""
+    from dibs_tpu.inference.transport import joint_transport, marginal_transport
+    from dibs_tpu.kernel import (
+        AdditiveFrobeniusSEKernel,
+        JointAdditiveFrobeniusSEKernel,
+    )
+    from dibs_tpu.parallel.ring import (
+        ring_joint_transport,
+        ring_marginal_transport,
+    )
+
+    sharding = particle_sharding(make_particle_mesh())
+    k1, k2, k3, k4 = random.split(random.PRNGKey(11), 4)
+    p, d, kdim = 16, 6, 6
+    z = random.normal(k1, (p, d, kdim, 2))
+    dz = random.normal(k2, (p, d, kdim, 2))
+    theta = random.normal(k3, (p, d, d))
+    dtheta = random.normal(k4, (p, d, d))
+
+    km = AdditiveFrobeniusSEKernel(h=5.0)
+    ref = marginal_transport(km, z, dz)
+    out = jax.jit(lambda a, b: ring_marginal_transport(km, a, b, sharding))(
+        jax.device_put(z, sharding), jax.device_put(dz, sharding))
+    assert jnp.allclose(out, ref, atol=1e-5), jnp.abs(out - ref).max()
+
+    kj = JointAdditiveFrobeniusSEKernel(h_latent=5.0, h_theta=500.0)
+    ref_z, ref_t = joint_transport(kj, z, theta, dz, dtheta)
+    out_z, out_t = jax.jit(
+        lambda a, b, c, e: ring_joint_transport(kj, a, c, b, e, sharding)
+    )(jax.device_put(z, sharding), jax.device_put(dz, sharding),
+      jax.device_put(theta, sharding), jax.device_put(dtheta, sharding))
+    assert jnp.allclose(out_z, ref_z, atol=1e-5)
+    assert jnp.allclose(out_t, ref_t, atol=1e-5)
