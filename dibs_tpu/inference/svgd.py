@@ -92,7 +92,8 @@ class DiBS:
                  verbose=False,
                  fused_linear_model=None,
                  use_pallas_samplers=None,
-                 sharding=None):
+                 sharding=None,
+                 node_log_joint_prob=None):
         self.x = jnp.asarray(x)
         self.interv_mask = jnp.asarray(interv_mask)
         self.n_vars = self.x.shape[-1]
@@ -119,6 +120,7 @@ class DiBS:
             fused_linear_model=fused_linear_model,
             use_pallas=use_pallas_samplers,
             sharding=sharding,
+            node_log_joint_prob=node_log_joint_prob,
         )
 
     # --- reference-compatible schedule / latent->graph helpers ---
@@ -290,6 +292,12 @@ class MarginalDiBS(DiBS):
             latent_prior_std=latent_prior_std,
             verbose=verbose,
             sharding=sharding,
+            # per-node likelihood decomposition for the Rao-Blackwellized
+            # score estimator (beyond-reference; see estimators.py)
+            node_log_joint_prob=getattr(
+                likelihood_model, "interventional_node_log_marginal_probs",
+                None,
+            ),
         )
         self.likelihood_model = likelihood_model
         self.graph_model = graph_model

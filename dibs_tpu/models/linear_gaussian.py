@@ -168,20 +168,39 @@ class BGe:
         r_mats = t_mat[None] + s_n + scale[:, None, None] * outer
         return r_mats, n_obs
 
-    def log_marginal_likelihood(self, *, g, x, interv_targets):
-        """Closed-form BGe marginal likelihood ``log p(D | G)`` (jit-able)."""
+    def node_log_marginal_likelihoods(self, *, g, x, interv_targets):
+        """Per-node BGe scores ``[d]`` (their sum is the marginal likelihood).
+
+        The BGe score decomposes over node families — node ``j``'s term
+        depends only on its parent column ``g[:, j]`` — which is what makes
+        the Rao-Blackwellized per-node score estimator possible
+        (:mod:`dibs_tpu.inference.estimators`, ``grad_estimator_z="score_rb"``).
+        """
         d = self.n_vars
         r_mats, n_obs = self._posterior_r_mats(x, interv_targets)
         n_parents_all = g.sum(axis=0)
-        scores = vmap(self._node_score, (0, 0, None, None, None), 0)(
+        return vmap(self._node_score, (0, 0, None, None, None), 0)(
             jnp.arange(d), n_parents_all, g, r_mats, n_obs
         )
-        return scores.sum(0)
+
+    def log_marginal_likelihood(self, *, g, x, interv_targets):
+        """Closed-form BGe marginal likelihood ``log p(D | G)`` (jit-able)."""
+        return self.node_log_marginal_likelihoods(
+            g=g, x=x, interv_targets=interv_targets
+        ).sum(0)
 
     def interventional_log_marginal_prob(self, g, _, x, interv_targets, rng):
         """Inference-contract wrapper; dummy ``theta``/``rng`` unify the
         marginal and joint signatures (reference :150-170)."""
         return self.log_marginal_likelihood(g=g, x=x, interv_targets=interv_targets)
+
+    def interventional_node_log_marginal_probs(self, g, _, x, interv_targets,
+                                               rng):
+        """Per-node analog of :meth:`interventional_log_marginal_prob` —
+        the hook consumed by the ``score_rb`` gradient estimator."""
+        return self.node_log_marginal_likelihoods(
+            g=g, x=x, interv_targets=interv_targets
+        )
 
 
 class LinearGaussian:

@@ -237,3 +237,93 @@ def test_unknown_estimator_raises():
             x=x,
             interv_mask=interv,
         )
+
+
+def test_grad_z_score_rb_matches_exact_enumeration_and_cuts_variance():
+    """The per-node Rao-Blackwellized estimator (a) targets the same exact
+    gradient (the likelihood expectation factorizes over independent parent
+    columns) and (b) has much lower variance than the joint-score estimator
+    at equal sample count."""
+    from dibs_tpu.models import BGe
+
+    D = 3
+    key = random.PRNGKey(7)
+    key, k1, k2, k3 = random.split(key, 4)
+    from dibs_tpu.models import ErdosReniDAGDistribution, LinearGaussian
+
+    er = ErdosReniDAGDistribution(D, n_edges_per_node=1)
+    gen = LinearGaussian(n_vars=D)
+    g_gt = er.sample_G(k1)
+    x = gen.sample_obs(key=k2, n_samples=20, g=g_gt,
+                       theta=gen.sample_parameters(key=k1, n_vars=D))
+    interv = jnp.zeros_like(x, dtype=jnp.int32)
+    z = 0.5 * random.normal(k3, (D, D, 2))
+    bge = BGe(n_vars=D)
+
+    t, alpha_linear = 10.0, 0.2
+    alpha = alpha_linear * t
+
+    # exact gradient of log E_{p(G|Z)}[p(D|G)] by enumeration
+    gs = _all_graphs()
+    log_liks = jax.vmap(
+        lambda g: bge.interventional_log_marginal_prob(g, None, x, interv,
+                                                       None)
+    )(gs)
+
+    def log_expectation(z_):
+        log_pg = jax.vmap(
+            lambda g: edge_ops.latent_log_prob(g, z_, alpha))(gs)
+        return jax.scipy.special.logsumexp(log_pg + log_liks)
+
+    exact = jax.grad(log_expectation)(z)
+
+    def estimate(kind, n_mc, seed):
+        cfg = EstimatorConfig(
+            alpha_linear=alpha_linear, n_grad_mc_samples=n_mc,
+            grad_estimator_z=kind,
+        )
+        est = make_estimators(
+            cfg=cfg,
+            log_graph_prior=lambda soft_g: jnp.array(0.0),
+            log_joint_prob=bge.interventional_log_marginal_prob,
+            node_log_joint_prob=bge.interventional_node_log_marginal_probs,
+            x=x, interv_mask=interv,
+        )
+        grads, _ = est.eltwise_grad_z_likelihood(
+            z[None], None, jnp.zeros(1), t,
+            random.split(random.PRNGKey(seed), 1),
+        )
+        return grads[0]
+
+    # (a) unbiasedness: converges to the exact enumerated gradient
+    est_rb = estimate("score_rb", 6000, 5)
+    rel = jnp.abs(est_rb - exact).max() / jnp.abs(exact).max()
+    assert rel < 0.2, f"rel err {rel}"
+
+    # (b) variance: per-node weights beat joint weights at equal M
+    def spread(kind):
+        ests = jnp.stack([estimate(kind, 128, s) for s in range(8)])
+        return float(jnp.var(ests, axis=0).sum())
+
+    v_joint, v_rb = spread("score"), spread("score_rb")
+    assert v_rb < 0.5 * v_joint, (v_rb, v_joint)
+
+
+def test_score_rb_requires_node_decomposition():
+    from dibs_tpu.models import LinearGaussian
+
+    model = LinearGaussian(n_vars=3)
+    x = jnp.zeros((4, 3))
+    cfg = EstimatorConfig(grad_estimator_z="score_rb", n_grad_mc_samples=4)
+    est = make_estimators(
+        cfg=cfg, log_graph_prior=lambda soft_g: jnp.array(0.0),
+        log_joint_prob=model.interventional_log_joint_prob,
+        x=x, interv_mask=jnp.zeros_like(x, dtype=jnp.int32),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="score_rb"):
+        est.eltwise_grad_z_likelihood(
+            jnp.zeros((1, 3, 3, 2)), None, jnp.zeros(1), 1.0,
+            random.split(random.PRNGKey(0), 1),
+        )
