@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Per-component timing of the SVGD step for the BASELINE configs.
+
+Times, post-compilation with dependent-chain execution (see
+benchmarks/RESULTS.md measurement note), each piece of the step:
+
+  * graph sampling (hard / soft)
+  * likelihood scoring of the MC sample batch (BGe determinants / MLP)
+  * the full Z-likelihood estimator
+  * prior + acyclicity score
+  * kernel matrix + transport
+  * the complete step
+
+Usage: python scripts/profile_step.py --config 1
+"""
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from dibs_tpu.inference import JointDiBS, MarginalDiBS
+from dibs_tpu.models import BGe
+from dibs_tpu.target import (
+    make_linear_gaussian_equivalent_model,
+    make_nonlinear_gaussian_model,
+)
+
+
+def chain_time(fn, arg, n=20):
+    """Times a dependent chain of ``n`` applications of ``fn`` (the output
+    feeds the next call, forcing real completion on the axon tunnel)."""
+
+    @jax.jit
+    def chained(a):
+        for _ in range(n):
+            a = fn(a)
+        return a
+
+    out = chained(arg)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = chained(arg)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=int, default=1)
+    args = p.parse_args()
+
+    key = random.PRNGKey(123)
+    key, subk = random.split(key)
+    n_particles = 30
+
+    if args.config == 1:
+        data, gm, lm = make_linear_gaussian_equivalent_model(
+            key=subk, n_vars=20, graph_prior_str="er")
+        dibs = MarginalDiBS(x=data.x, graph_model=gm, likelihood_model=lm)
+    elif args.config == 3:
+        data, gm, lm = make_nonlinear_gaussian_model(
+            key=subk, n_vars=20, graph_prior_str="sf", hidden_layers=(5,))
+        dibs = JointDiBS(x=data.x, graph_model=gm, likelihood_model=lm)
+    else:
+        raise SystemExit("configs 1 and 3 only")
+
+    state = dibs.init_state(key=random.PRNGKey(0), n_particles=n_particles)
+    z, theta = state.z, state.theta
+    t = jnp.array(100.0)
+    keys = random.split(random.PRNGKey(1), n_particles)
+    est = dibs.est
+    cfg = dibs.cfg
+    d = dibs.n_vars
+
+    from dibs_tpu.ops.edges import edge_probs, edge_scores, sample_g
+    from dibs_tpu.ops.soft_graphs import sample_hard_graphs
+
+    alpha = cfg.alpha(t)
+
+    # --- sampling ---
+    def samp(z_):
+        g_all = sample_hard_graphs(edge_scores(z_), keys[0], alpha,
+                                   cfg.n_grad_mc_samples)
+        return z_ + g_all.mean() * 1e-20
+    ms = chain_time(samp, z)
+    print(f"hard sampling (pallas/xla auto): {ms*1e3:8.3f} ms")
+
+    # --- likelihood scoring of the sampled batch ---
+    gs = sample_hard_graphs(edge_scores(z), keys[0], alpha,
+                            cfg.n_grad_mc_samples)
+    gs = jax.block_until_ready(gs)
+
+    if args.config == 1:
+        def score_batch(g_all):
+            lp = jax.vmap(jax.vmap(
+                lambda g: dibs.log_joint_prob(g, None, dibs.x,
+                                              dibs.interv_mask, None)
+            ))(g_all)
+            # feed back a dependency so the chain is sequential
+            return g_all + lp.mean() * 1e-20
+    else:
+        def score_batch(g_all):
+            lp = jax.vmap(
+                lambda g_p, th_p: jax.vmap(
+                    lambda g: dibs.log_joint_prob(g, th_p, dibs.x,
+                                                  dibs.interv_mask, None)
+                )(g_p),
+                (0, 0),
+            )(g_all, theta)
+            return g_all + lp.mean() * 1e-20
+    ms = chain_time(score_batch, gs)
+    print(f"likelihood scoring [P,M] batch:  {ms*1e3:8.3f} ms")
+
+    # --- full Z-likelihood estimator ---
+    def zlik(z_):
+        dz, _ = est.eltwise_grad_z_likelihood(
+            z_, theta, state.sf_baseline, t, keys)
+        return z_ + dz * 1e-20
+    ms = chain_time(zlik, z)
+    print(f"Z-likelihood estimator:          {ms*1e3:8.3f} ms")
+
+    if theta is not None:
+        def tlik(z_):
+            if est.fused_grad_both is not None:
+                dz, dth = est.fused_grad_both(z_, theta, t, keys[0])
+            else:
+                dth = est.eltwise_grad_theta_likelihood(z_, theta, t, keys)
+            leaf = jax.tree_util.tree_leaves(dth)[0]
+            return z_ + leaf.mean() * 1e-20
+        ms = chain_time(tlik, z)
+        print(f"theta estimator (or fused both): {ms*1e3:8.3f} ms")
+
+    # --- prior score ---
+    def prior(z_):
+        dz = est.eltwise_grad_latent_prior(
+            z_, keys, t, dibs._resolve_latent_std(z.shape[2]))
+        return z_ + dz * 1e-20
+    ms = chain_time(prior, z)
+    print(f"prior + acyclicity score:        {ms*1e3:8.3f} ms")
+
+    # --- transport ---
+    from dibs_tpu.inference.transport import joint_transport, marginal_transport
+
+    if theta is None:
+        def trans(z_):
+            return z_ + marginal_transport(dibs.kernel, z_, z_) * 1e-20
+    else:
+        def trans(z_):
+            phi_z, _ = joint_transport(dibs.kernel, z_, theta, z_, theta)
+            return z_ + phi_z * 1e-20
+    ms = chain_time(trans, z)
+    print(f"kernel matrix + transport:       {ms*1e3:8.3f} ms")
+
+    # --- full step ---
+    step = dibs._make_step(dibs._resolve_latent_std(z.shape[2]))
+    ms = chain_time(step, state)
+    print(f"FULL STEP:                       {ms*1e3:8.3f} ms "
+          f"({1e3/ (ms*1e3):.1f} steps/s)")
+
+
+if __name__ == "__main__":
+    main()
