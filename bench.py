@@ -68,21 +68,29 @@ def build_state_and_step():
     return state, run_chunk
 
 
-def measure_steps_per_sec(chunk_steps=100, repeats=3):
+def measure_steps_per_sec(chunk_steps=100, repeats=4):
+    """True throughput: timed regions end with ``jax.device_get`` — on the
+    tunneled axon backend ``block_until_ready`` acknowledges dispatch, not
+    completion, and can over-report by orders of magnitude. Subtracting a
+    1-chunk run cancels the shared dispatch+transfer overhead."""
     import jax
 
     state, run_chunk = build_state_and_step()
     # compile + warmup
     state = run_chunk(state, n_steps=chunk_steps)
-    jax.block_until_ready(state.z)
+    _ = jax.device_get(state.z)
 
-    times = []
+    t0 = time.perf_counter()
+    state = run_chunk(state, n_steps=chunk_steps)
+    _ = jax.device_get(state.z)
+    t_one = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     for _ in range(repeats):
-        t0 = time.perf_counter()
         state = run_chunk(state, n_steps=chunk_steps)
-        jax.block_until_ready(state.z)
-        times.append(time.perf_counter() - t0)
-    return chunk_steps / min(times)
+    _ = jax.device_get(state.z)
+    t_many = time.perf_counter() - t0
+    return (repeats - 1) * chunk_steps / max(t_many - t_one, 1e-9)
 
 
 def main():

@@ -164,6 +164,18 @@ def make_estimators(
             joint log-probability) — required by the ``score_rb`` estimator
     """
 
+    # The dataset enters the estimators as a *runtime argument* when the
+    # engine supplies it (x_/interv_ below), falling back to the factory
+    # values for direct calls. Passing data as arguments keeps it out of the
+    # compiled program's constants, so one (slow) Mosaic/XLA compile serves
+    # every same-shaped dataset via the persistent compilation cache —
+    # without this, each new dataset recompiled the fused kernels (~2-7 min).
+    x_default, interv_default = x, interv_mask
+
+    def _data(x_, interv_):
+        return (x_default if x_ is None else x_,
+                interv_default if interv_ is None else interv_)
+
     if sharding is not None:
         from dibs_tpu.parallel import constrain_mc as _mc_pin
 
@@ -179,7 +191,7 @@ def make_estimators(
 
     # --- Z-likelihood score: REINFORCE (dibs.py:325-391) ---
 
-    def grad_z_score(single_z, single_theta, sf_baseline, t, key):
+    def grad_z_score(single_z, single_theta, sf_baseline, t, key, x_, interv_):
         alpha = cfg.alpha(t)
         p = edge_probs(single_z, alpha)
 
@@ -188,14 +200,15 @@ def make_estimators(
 
         key, k_lik = random.split(key)
         return _grad_z_score_given_g(
-            single_z, single_theta, sf_baseline, g_samples, t, k_lik
+            single_z, single_theta, sf_baseline, g_samples, t, k_lik,
+            x_, interv_,
         )
 
     def _grad_z_score_given_g(single_z, single_theta, sf_baseline,
-                              g_samples, t, k_lik):
+                              g_samples, t, k_lik, x_, interv_):
         alpha = cfg.alpha(t)
         logprobs = vmap(
-            lambda g: log_joint_prob(g, single_theta, x, interv_mask, k_lik)
+            lambda g: log_joint_prob(g, single_theta, x_, interv_, k_lik)
         )(g_samples)
 
         # REINFORCE direction ∇_Z log p(G | Z) per MC graph sample —
@@ -244,12 +257,12 @@ def make_estimators(
     # longer carry the other d-1 nodes' score noise, collapsing the
     # estimator variance (validated in tests/test_estimators.py).
 
-    def _grad_z_score_rb_given_g(single_z, single_theta, g_samples, t, k_lik):
+    def _grad_z_score_rb_given_g(single_z, single_theta, g_samples, t, k_lik,
+                                 x_, interv_):
         alpha = cfg.alpha(t)
         p = edge_probs(single_z, alpha)
         node_scores = vmap(
-            lambda g: node_log_joint_prob(g, single_theta, x, interv_mask,
-                                          k_lik)
+            lambda g: node_log_joint_prob(g, single_theta, x_, interv_, k_lik)
         )(g_samples)  # [M, d]
         w = jnp.exp(node_scores - logsumexp(node_scores, axis=0))  # [M, d]
         g_bar = jnp.einsum("mij,mj->ij", g_samples, w,
@@ -261,18 +274,20 @@ def make_estimators(
         dv = jnp.matmul(resid.T, u, precision=hi)
         return jnp.stack([du, dv], axis=-1)
 
-    def grad_z_score_rb(single_z, single_theta, sf_baseline, t, key):
+    def grad_z_score_rb(single_z, single_theta, sf_baseline, t, key,
+                        x_, interv_):
         alpha = cfg.alpha(t)
         p = edge_probs(single_z, alpha)
         key, k_g = random.split(key)
         g_samples = sample_g(p, k_g, cfg.n_grad_mc_samples)
         key, k_lik = random.split(key)
         grad = _grad_z_score_rb_given_g(
-            single_z, single_theta, g_samples, t, k_lik
+            single_z, single_theta, g_samples, t, k_lik, x_, interv_
         )
         return grad, sf_baseline
 
-    def eltwise_grad_z_score_rb(zs, thetas, baselines, t, keys):
+    def eltwise_grad_z_score_rb(zs, thetas, baselines, t, keys,
+                                x=None, interv_mask=None):
         if node_log_joint_prob is None:
             raise ValueError(
                 "grad_estimator_z='score_rb' needs a per-node likelihood "
@@ -281,19 +296,20 @@ def make_estimators(
             )
         from dibs_tpu.ops.pallas_kernels import pallas_enabled
 
+        x_, interv_ = _data(x, interv_mask)
         if use_pallas or (use_pallas is None and pallas_enabled()):
             g_all = _constrain_mc(sample_hard_graphs(
                 edge_scores(zs), keys[0], cfg.alpha(t),
                 cfg.n_grad_mc_samples, use_pallas=use_pallas,
                 sharding=sharding,
             ))
-            grads = vmap(_grad_z_score_rb_given_g, (0, 0, 0, None, 0))(
-                zs, thetas, g_all, t, keys
-            )
+            grads = vmap(
+                _grad_z_score_rb_given_g, (0, 0, 0, None, 0, None, None)
+            )(zs, thetas, g_all, t, keys, x_, interv_)
             return grads, baselines
-        grads, _ = vmap(grad_z_score_rb, (0, 0, 0, None, 0), (0, 0))(
-            zs, thetas, baselines, t, keys
-        )
+        grads, _ = vmap(
+            grad_z_score_rb, (0, 0, 0, None, 0, None, None), (0, 0)
+        )(zs, thetas, baselines, t, keys, x_, interv_)
         return grads, baselines
 
     # --- Z-likelihood score: Gumbel-softmax reparameterization (dibs.py:395-459) ---
@@ -307,9 +323,11 @@ def make_estimators(
     # storage-free sampler (ops/soft_graphs.py): on TPU the Logistic noise is
     # generated inside a Pallas kernel and never touches HBM.
 
-    def eltwise_grad_z_reparam(zs, thetas, baselines, t, keys):
+    def eltwise_grad_z_reparam(zs, thetas, baselines, t, keys,
+                               x=None, interv_mask=None):
         alpha = cfg.alpha(t)
         key_noise = keys[0]
+        x_, interv_ = _data(x, interv_mask)
 
         def batched_logprobs(zs_):
             scores = edge_scores(zs_)
@@ -320,7 +338,7 @@ def make_estimators(
             gs = _constrain_mc(gs)
             return vmap(
                 lambda g_p, th_p: vmap(
-                    lambda g: log_joint_prob(g, th_p, x, interv_mask, key_noise)
+                    lambda g: log_joint_prob(g, th_p, x_, interv_, key_noise)
                 )(g_p),
                 (0, 0),
             )(gs, thetas)  # [P, M]
@@ -330,9 +348,11 @@ def make_estimators(
         (grads,) = vjp_fn(weights)
         return grads, baselines
 
-    def eltwise_grad_z_score(zs, thetas, baselines, t, keys):
+    def eltwise_grad_z_score(zs, thetas, baselines, t, keys,
+                             x=None, interv_mask=None):
         from dibs_tpu.ops.pallas_kernels import pallas_enabled
 
+        x_, interv_ = _data(x, interv_mask)
         if use_pallas or (use_pallas is None and pallas_enabled()):
             # batched hardware-PRNG Bernoulli sampling for the whole
             # particle batch (Gumbel-max identity gives exactly
@@ -343,12 +363,13 @@ def make_estimators(
                 cfg.n_grad_mc_samples, use_pallas=use_pallas,
                 sharding=sharding,
             ))
-            return vmap(_grad_z_score_given_g, (0, 0, 0, 0, None, 0), (0, 0))(
-                zs, thetas, baselines, g_all, t, keys
-            )
-        return vmap(grad_z_score, (0, 0, 0, None, 0), (0, 0))(
-            zs, thetas, baselines, t, keys
-        )
+            return vmap(
+                _grad_z_score_given_g,
+                (0, 0, 0, 0, None, 0, None, None), (0, 0),
+            )(zs, thetas, baselines, g_all, t, keys, x_, interv_)
+        return vmap(
+            grad_z_score, (0, 0, 0, None, 0, None, None), (0, 0)
+        )(zs, thetas, baselines, t, keys, x_, interv_)
 
     grad_z_fns = {
         "score": eltwise_grad_z_score,
@@ -366,9 +387,11 @@ def make_estimators(
     # Θ-gradients, so one vjp with the [P, M] softmax weights as cotangents
     # yields every particle's pytree estimate.
 
-    def eltwise_grad_theta_likelihood(zs, thetas, t, keys):
+    def eltwise_grad_theta_likelihood(zs, thetas, t, keys,
+                                      x=None, interv_mask=None):
         """Pytree of Θ-gradients with leading particle dim."""
         alpha = cfg.alpha(t)
+        x_, interv_ = _data(x, interv_mask)
         g_samples = _constrain_mc(sample_hard_graphs(
             edge_scores(zs), keys[0], alpha, cfg.n_grad_mc_samples,
             use_pallas=use_pallas, sharding=sharding,
@@ -377,7 +400,7 @@ def make_estimators(
         def batched_logprobs(thetas_):
             return vmap(
                 lambda g_p, th_p: vmap(
-                    lambda g: log_joint_prob(g, th_p, x, interv_mask, keys[0])
+                    lambda g: log_joint_prob(g, th_p, x_, interv_, keys[0])
                 )(g_p),
                 (0, 0),
             )(g_samples, thetas_)  # [P, M]
@@ -457,7 +480,9 @@ def make_estimators(
                 )
         else:
 
-            def fused_grad_both(zs, thetas, t, key):
+            def fused_grad_both(zs, thetas, t, key,
+                                x=None, interv_mask=None):
+                x_, interv_ = _data(x, interv_mask)
                 if sharding is not None:
                     from dibs_tpu.parallel.shard_ops import (
                         divides_mesh,
@@ -465,14 +490,14 @@ def make_estimators(
                     )
                 if sharding is not None and divides_mesh(sharding, zs.shape[0]):
                     dscores, dtheta = sharded_fused_linear(
-                        zs=zs, thetas=thetas, x=x, interv_mask=interv_mask,
+                        zs=zs, thetas=thetas, x=x_, interv_mask=interv_,
                         key=key, alpha=cfg.alpha(t), tau=cfg.tau,
                         n_samples=cfg.n_grad_mc_samples,
                         model=fused_linear_model, sharding=sharding,
                     )
                 else:
                     dscores, dtheta = fused_linear_estimators(
-                        zs=zs, thetas=thetas, x=x, interv_mask=interv_mask,
+                        zs=zs, thetas=thetas, x=x_, interv_mask=interv_,
                         key=key, alpha=cfg.alpha(t), tau=cfg.tau,
                         n_samples=cfg.n_grad_mc_samples,
                         model=fused_linear_model,

@@ -214,13 +214,20 @@ class DiBS:
     def _run_chunks(self, state: SVGDState, steps: int, callback,
                     callback_every: Optional[int], step_fn) -> SVGDState:
         """Drives the jitted multi-step loop, yielding to ``callback`` between
-        chunks (the only host interruptions of the run)."""
+        chunks (the only host interruptions of the run).
+
+        The dataset is passed as a *runtime argument* (not closed over), so
+        the compiled program contains no data constants — one compile (and
+        one persistent-cache entry) serves every same-shaped dataset.
+        """
 
         # donate the carry: the optimizer/particle buffers are overwritten in
         # place instead of copied at every chunk boundary
         @functools.partial(jax.jit, static_argnames="n_steps", donate_argnums=0)
-        def run_chunk(st, n_steps):
-            return lax.fori_loop(0, n_steps, lambda _, s: step_fn(s), st)
+        def run_chunk(st, x, interv, n_steps):
+            return lax.fori_loop(
+                0, n_steps, lambda _, s: step_fn(s, x, interv), st
+            )
 
         if steps == 0:
             return state
@@ -230,7 +237,7 @@ class DiBS:
             done = 0
             while done < n:
                 m = min(_MAX_CHUNK_STEPS, n - done)
-                state = run_chunk(state, n_steps=m)
+                state = run_chunk(state, self.x, self.interv_mask, n_steps=m)
                 done += m
             if callback:
                 # report the state's true global step (not the chunk-local
@@ -362,7 +369,7 @@ class MarginalDiBS(DiBS):
             constrain = make_constraint(self.sharding)
             ring = ring_available(kernel, self.sharding)
 
-        def step(state: SVGDState) -> SVGDState:
+        def step(state: SVGDState, x=None, interv_mask=None) -> SVGDState:
             z = state.z
             n_particles = z.shape[0]
             key, k_lik, k_prior = random.split(state.key, 3)
@@ -370,6 +377,7 @@ class MarginalDiBS(DiBS):
             dz_lik, sf_baseline = est.eltwise_grad_z_likelihood(
                 z, None, state.sf_baseline, state.t,
                 _split_per_particle(k_lik, n_particles),
+                x=x, interv_mask=interv_mask,
             )
             dz_prior = est.eltwise_grad_latent_prior(
                 z, _split_per_particle(k_prior, n_particles), state.t,
@@ -582,23 +590,27 @@ class JointDiBS(DiBS):
             constrain = make_constraint(self.sharding)
             ring = ring_available(kernel, self.sharding)
 
-        def step(state: SVGDState) -> SVGDState:
+        def step(state: SVGDState, x=None, interv_mask=None) -> SVGDState:
             z, theta = state.z, state.theta
             n_particles = z.shape[0]
             key, k_theta, k_lik, k_prior = random.split(state.key, 4)
 
             if est.fused_grad_both is not None:
                 # one Pallas two-pass computes both likelihood gradients
-                dz_lik, dtheta = est.fused_grad_both(z, theta, state.t, k_lik)
+                dz_lik, dtheta = est.fused_grad_both(
+                    z, theta, state.t, k_lik, x=x, interv_mask=interv_mask
+                )
                 sf_baseline = state.sf_baseline
             else:
                 dtheta = est.eltwise_grad_theta_likelihood(
                     z, theta, state.t,
                     _split_per_particle(k_theta, n_particles),
+                    x=x, interv_mask=interv_mask,
                 )
                 dz_lik, sf_baseline = est.eltwise_grad_z_likelihood(
                     z, theta, state.sf_baseline, state.t,
                     _split_per_particle(k_lik, n_particles),
+                    x=x, interv_mask=interv_mask,
                 )
             dz_prior = est.eltwise_grad_latent_prior(
                 z, _split_per_particle(k_prior, n_particles), state.t,

@@ -37,6 +37,8 @@ def load(side):
             d = json.load(f)
         if "empirical" not in d:  # timing-only record
             continue
+        if d.get("steps") != 2000:  # smoke runs are not protocol runs
+            continue
         out.setdefault(cfg, {})[seed] = d
     return out
 
