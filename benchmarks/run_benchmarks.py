@@ -51,21 +51,28 @@ def time_steps_per_sec(dibs, n_particles, chunk=50, repeats=4, key=None):
             0, n, lambda _, s: step_fn(s, dibs.x, dibs.interv_mask), st
         )
 
+    def probe(st):
+        # device_get of a scalar slice: forces completion of everything the
+        # state depends on while transferring only bytes (the full [P,d,k,2]
+        # particle tensor is ~130 MB at the scaling config — transferring it
+        # would swamp the subtraction below)
+        return jax.device_get(st.z[0, 0, 0, 0])
+
     t0 = time.perf_counter()
     state = run(state, chunk)
-    _ = jax.device_get(state.z)
+    _ = probe(state)
     compile_and_first = time.perf_counter() - t0
 
     # one chunk, fully synced
     t0 = time.perf_counter()
     state = run(state, chunk)
-    _ = jax.device_get(state.z)
+    _ = probe(state)
     t_one = time.perf_counter() - t0
     # `repeats` chunks, one sync at the end
     t0 = time.perf_counter()
     for _ in range(repeats):
         state = run(state, chunk)
-    _ = jax.device_get(state.z)
+    _ = probe(state)
     t_many = time.perf_counter() - t0
     return (repeats - 1) * chunk / max(t_many - t_one, 1e-9), compile_and_first
 
