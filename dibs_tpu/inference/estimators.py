@@ -136,6 +136,8 @@ def make_estimators(
     use_pallas=None,
     sharding=None,
     node_log_joint_prob=None,
+    fused_sample_sharing=None,
+    batched_node_log_joint_prob=None,
 ) -> Estimators:
     """Builds the batched estimator callables for fixed data and models.
 
@@ -162,6 +164,28 @@ def make_estimators(
         node_log_joint_prob: per-node decomposition of ``log_joint_prob``
             (``(g, theta, x, interv_mask, rng) -> [d]`` whose sum is the
             joint log-probability) — required by the ``score_rb`` estimator
+        fused_sample_sharing: ``'hard'`` builds a generic fused Z+Θ
+            estimator (``fused_grad_both``) that draws ONE Logistic noise
+            batch for both likelihood gradients (reparam estimator only):
+            the Θ-estimator scores the Gumbel-max *hard* graphs obtained by
+            thresholding the soft samples at 0.5 (``sigmoid(tau u) > 0.5
+            <=> u > 0`` — exactly the reference's Bernoulli distribution,
+            dibs.py:102-119), while the Z-gradient is the unchanged reparam
+            estimator. Same math as the separate estimators, one sampler
+            pass instead of two. (A fully-relaxed single-vjp variant that
+            also fed the Θ-estimator soft graphs was evaluated and
+            rejected: its Θ-gradient never aligns with the exact
+            enumerated gradient — cosine ~0.2 at any annealing
+            temperature, because the soft mask reweights the Θ-prior term
+            continuously. See tests/test_estimators.py.)
+        batched_node_log_joint_prob: whole-batch per-node scorer
+            (``(gs [B, d, d], theta, x, interv_mask, rng) -> [B, d]``) —
+            when provided (e.g. BGe's fused Pallas determinant kernel,
+            :mod:`dibs_tpu.ops.bge_kernel`), the REINFORCE ``score`` /
+            ``score_rb`` estimators evaluate ALL particles' MC samples in
+            one forward-only call instead of nested vmaps of the
+            per-graph scorer. Unsharded runs only (the [P*M] flatten would
+            merge mesh axes); marginal inference only (``theta`` unused).
     """
 
     # The dataset enters the estimators as a *runtime argument* when the
@@ -206,11 +230,16 @@ def make_estimators(
 
     def _grad_z_score_given_g(single_z, single_theta, sf_baseline,
                               g_samples, t, k_lik, x_, interv_):
-        alpha = cfg.alpha(t)
         logprobs = vmap(
             lambda g: log_joint_prob(g, single_theta, x_, interv_, k_lik)
         )(g_samples)
+        return _grad_z_score_from_logprobs(
+            single_z, sf_baseline, g_samples, logprobs, t
+        )
 
+    def _grad_z_score_from_logprobs(single_z, sf_baseline, g_samples,
+                                    logprobs, t):
+        alpha = cfg.alpha(t)
         # REINFORCE direction ∇_Z log p(G | Z) per MC graph sample —
         # closed form: two batched matmuls instead of M reverse-mode passes
         grad_z = grad_latent_log_prob_batch(g_samples, single_z, alpha)
@@ -259,11 +288,14 @@ def make_estimators(
 
     def _grad_z_score_rb_given_g(single_z, single_theta, g_samples, t, k_lik,
                                  x_, interv_):
-        alpha = cfg.alpha(t)
-        p = edge_probs(single_z, alpha)
         node_scores = vmap(
             lambda g: node_log_joint_prob(g, single_theta, x_, interv_, k_lik)
         )(g_samples)  # [M, d]
+        return _grad_z_score_rb_from_scores(single_z, g_samples, node_scores, t)
+
+    def _grad_z_score_rb_from_scores(single_z, g_samples, node_scores, t):
+        alpha = cfg.alpha(t)
+        p = edge_probs(single_z, alpha)
         w = jnp.exp(node_scores - logsumexp(node_scores, axis=0))  # [M, d]
         g_bar = jnp.einsum("mij,mj->ij", g_samples, w,
                            precision=jax.lax.Precision.HIGHEST)
@@ -297,12 +329,27 @@ def make_estimators(
         from dibs_tpu.ops.pallas_kernels import pallas_enabled
 
         x_, interv_ = _data(x, interv_mask)
-        if use_pallas or (use_pallas is None and pallas_enabled()):
+        batch_hook = (batched_node_log_joint_prob is not None
+                      and sharding is None)
+        if batch_hook or use_pallas or (use_pallas is None
+                                        and pallas_enabled()):
             g_all = _constrain_mc(sample_hard_graphs(
                 edge_scores(zs), keys[0], cfg.alpha(t),
                 cfg.n_grad_mc_samples, use_pallas=use_pallas,
                 sharding=sharding,
             ))
+            if batch_hook:
+                # one fused whole-batch scorer call for every particle's
+                # MC samples (BGe: the lane-batched Pallas eliminations)
+                p_n, m_n, d_n = g_all.shape[0], g_all.shape[1], g_all.shape[2]
+                node_scores = batched_node_log_joint_prob(
+                    g_all.reshape(p_n * m_n, d_n, d_n), None, x_, interv_,
+                    None,
+                ).reshape(p_n, m_n, d_n)
+                grads = vmap(
+                    _grad_z_score_rb_from_scores, (0, 0, 0, None)
+                )(zs, g_all, node_scores, t)
+                return grads, baselines
             grads = vmap(
                 _grad_z_score_rb_given_g, (0, 0, 0, None, 0, None, None)
             )(zs, thetas, g_all, t, keys, x_, interv_)
@@ -353,7 +400,10 @@ def make_estimators(
         from dibs_tpu.ops.pallas_kernels import pallas_enabled
 
         x_, interv_ = _data(x, interv_mask)
-        if use_pallas or (use_pallas is None and pallas_enabled()):
+        batch_hook = (batched_node_log_joint_prob is not None
+                      and thetas is None and sharding is None)
+        if batch_hook or use_pallas or (use_pallas is None
+                                        and pallas_enabled()):
             # batched hardware-PRNG Bernoulli sampling for the whole
             # particle batch (Gumbel-max identity gives exactly
             # Bernoulli(sigmoid(alpha s))); different stream than the XLA
@@ -363,6 +413,17 @@ def make_estimators(
                 cfg.n_grad_mc_samples, use_pallas=use_pallas,
                 sharding=sharding,
             ))
+            if batch_hook:
+                # one fused whole-batch scorer call (BGe: the lane-batched
+                # Pallas eliminations replace P*M*d HBM-bound GE sweeps)
+                p_n, m_n, d_n = g_all.shape[0], g_all.shape[1], g_all.shape[2]
+                logprobs = batched_node_log_joint_prob(
+                    g_all.reshape(p_n * m_n, d_n, d_n), None, x_, interv_,
+                    None,
+                ).reshape(p_n, m_n, d_n).sum(-1)
+                return vmap(
+                    _grad_z_score_from_logprobs, (0, 0, 0, 0, None), (0, 0)
+                )(zs, baselines, g_all, logprobs, t)
             return vmap(
                 _grad_z_score_given_g,
                 (0, 0, 0, 0, None, 0, None, None), (0, 0),
@@ -378,6 +439,14 @@ def make_estimators(
     }
     if cfg.grad_estimator_z not in grad_z_fns:
         raise ValueError(f"Unknown gradient estimator `{cfg.grad_estimator_z}`")
+    if cfg.grad_estimator_z == "score_rb" and cfg.score_function_baseline > 0.0:
+        raise ValueError(
+            "score_function_baseline > 0 has no effect with "
+            "grad_estimator_z='score_rb': the per-node Rao-Blackwellized "
+            "estimator applies no EMA control variate (its per-column "
+            "softmax already removes the cross-node score noise the "
+            "baseline targets). Set score_function_baseline=0."
+        )
     eltwise_grad_z_likelihood = grad_z_fns[cfg.grad_estimator_z]
 
     # --- Θ-likelihood score (dibs.py:467-551) ---
@@ -457,9 +526,72 @@ def make_estimators(
             + grad_prior_z
         )
 
+    # --- generic shared-sample fused Z+Θ estimator (any joint model) ---
+
+    def _batched_logprobs(gs, thetas_, x_, interv_, rng):
+        """[P, M, d, d] graphs x per-particle Θ -> [P, M] log-joints."""
+        return vmap(
+            lambda g_p, th_p: vmap(
+                lambda g: log_joint_prob(g, th_p, x_, interv_, rng)
+            )(g_p),
+            (0, 0),
+        )(gs, thetas_)
+
+    def _make_fused_shared():
+        from dibs_tpu.utils.func import zero_diagonal
+
+        def fused_shared(zs, thetas, t, key, x=None, interv_mask=None):
+            alpha = cfg.alpha(t)
+            x_, interv_ = _data(x, interv_mask)
+
+            def sample_soft(zs_):
+                gs = sample_soft_graphs(
+                    edge_scores(zs_), key, alpha, cfg.tau,
+                    cfg.n_grad_mc_samples, use_pallas=use_pallas,
+                    sharding=sharding,
+                )
+                return _constrain_mc(gs)
+
+            # Z-gradient = unchanged reparam estimator; Θ-gradient scores
+            # the Gumbel-max hard graphs derived from the SAME noise batch
+            # (sigmoid(tau u) > 0.5 <=> u > 0, so the threshold of the
+            # soft sample IS the reference's Bernoulli sample) — one
+            # sampler pass serves both estimators
+            def f_z(zs_):
+                return _batched_logprobs(sample_soft(zs_), thetas,
+                                         x_, interv_, key)
+
+            logp_soft, vjp_z = jax.vjp(f_z, zs)
+            w_soft = jnp.exp(
+                logp_soft - logsumexp(logp_soft, axis=1, keepdims=True)
+            )
+            (dz,) = vjp_z(w_soft)
+
+            soft_ng = jax.lax.stop_gradient(sample_soft(zs))
+            hard = zero_diagonal((soft_ng > 0.5).astype(zs.dtype))
+
+            def f_theta(th_):
+                return _batched_logprobs(hard, th_, x_, interv_, key)
+
+            logp_hard, vjp_t = jax.vjp(f_theta, thetas)
+            w_hard = jnp.exp(
+                logp_hard - logsumexp(logp_hard, axis=1, keepdims=True)
+            )
+            (dtheta,) = vjp_t(w_hard)
+            return dz, dtheta
+
+        return fused_shared
+
     # --- optional fused Pallas sample-and-score path (LinearGaussian) ---
 
     fused_grad_both = None
+    if fused_sample_sharing is not None and cfg.grad_estimator_z == "reparam":
+        if fused_sample_sharing != "hard":
+            raise ValueError(
+                f"fused_sample_sharing must be None or 'hard'; got "
+                f"{fused_sample_sharing!r}"
+            )
+        fused_grad_both = _make_fused_shared()
     if fused_linear_model is not None and cfg.grad_estimator_z == "reparam":
         from dibs_tpu.inference.fused_linear import (
             fused_linear_available,

@@ -93,7 +93,9 @@ class DiBS:
                  fused_linear_model=None,
                  use_pallas_samplers=None,
                  sharding=None,
-                 node_log_joint_prob=None):
+                 node_log_joint_prob=None,
+                 fused_sample_sharing=None,
+                 batched_node_log_joint_prob=None):
         self.x = jnp.asarray(x)
         self.interv_mask = jnp.asarray(interv_mask)
         self.n_vars = self.x.shape[-1]
@@ -121,6 +123,8 @@ class DiBS:
             use_pallas=use_pallas_samplers,
             sharding=sharding,
             node_log_joint_prob=node_log_joint_prob,
+            fused_sample_sharing=fused_sample_sharing,
+            batched_node_log_joint_prob=batched_node_log_joint_prob,
         )
 
     # --- reference-compatible schedule / latent->graph helpers ---
@@ -305,6 +309,14 @@ class MarginalDiBS(DiBS):
                 likelihood_model, "interventional_node_log_marginal_probs",
                 None,
             ),
+            # whole-batch per-node scorer: routes the REINFORCE sample
+            # batch through BGe's fused Pallas determinant kernel on TPU
+            # (ops/bge_kernel.py)
+            batched_node_log_joint_prob=getattr(
+                likelihood_model,
+                "batched_interventional_node_log_marginal_probs",
+                None,
+            ),
         )
         self.likelihood_model = likelihood_model
         self.graph_model = graph_model
@@ -363,11 +375,18 @@ class MarginalDiBS(DiBS):
         est, kernel, opt = self.est, self.kernel, self.opt
         constrain = None
         ring = False
+        p_axis_size = 1
         if self.sharding is not None:
             from dibs_tpu.parallel import make_constraint
             from dibs_tpu.parallel.ring import ring_available
+            from dibs_tpu.parallel.shard_ops import particle_axis_name
             constrain = make_constraint(self.sharding)
             ring = ring_available(kernel, self.sharding)
+            # gate on the particle-axis extent, not the total device count:
+            # on a 2-D ('p','mc') mesh the ring shards over 'p' only
+            p_axis_size = self.sharding.mesh.shape[
+                particle_axis_name(self.sharding)
+            ]
 
         def step(state: SVGDState, x=None, interv_mask=None) -> SVGDState:
             z = state.z
@@ -387,7 +406,7 @@ class MarginalDiBS(DiBS):
             if constrain is not None:
                 dz = constrain(dz)
 
-            if ring and n_particles % self.sharding.mesh.devices.size == 0:
+            if ring and n_particles % p_axis_size == 0:
                 from dibs_tpu.parallel.ring import ring_marginal_transport
                 phi_z = ring_marginal_transport(kernel, z, dz, self.sharding)
             else:
@@ -492,7 +511,8 @@ class JointDiBS(DiBS):
                  score_function_baseline=0.0,
                  latent_prior_std=None,
                  sharding=None,
-                 verbose=False):
+                 verbose=False,
+                 fused_sample_sharing="hard"):
         if kernel_param is None:
             kernel_param = {"h_latent": 5.0, "h_theta": 500.0}
         if optimizer_param is None:
@@ -522,6 +542,12 @@ class JointDiBS(DiBS):
                 else None
             ),
             sharding=sharding,
+            # generic shared-sample fused Z+Θ estimator for every other
+            # model ('hard' = reference-distribution sampling, one noise
+            # batch for both gradients; 'soft' = single-pass relaxed;
+            # None = separate estimators). The Pallas linear path takes
+            # precedence when available.
+            fused_sample_sharing=fused_sample_sharing,
         )
         self.likelihood_model = likelihood_model
         self.graph_model = graph_model
@@ -584,11 +610,17 @@ class JointDiBS(DiBS):
         est, kernel, opt = self.est, self.kernel, self.opt
         constrain = None
         ring = False
+        p_axis_size = 1
         if self.sharding is not None:
             from dibs_tpu.parallel import make_constraint
             from dibs_tpu.parallel.ring import ring_available
+            from dibs_tpu.parallel.shard_ops import particle_axis_name
             constrain = make_constraint(self.sharding)
             ring = ring_available(kernel, self.sharding)
+            # particle-axis extent, not total device count (2-D mesh support)
+            p_axis_size = self.sharding.mesh.shape[
+                particle_axis_name(self.sharding)
+            ]
 
         def step(state: SVGDState, x=None, interv_mask=None) -> SVGDState:
             z, theta = state.z, state.theta
@@ -620,7 +652,7 @@ class JointDiBS(DiBS):
             if constrain is not None:
                 dz = constrain(dz)
 
-            if ring and n_particles % self.sharding.mesh.devices.size == 0:
+            if ring and n_particles % p_axis_size == 0:
                 from dibs_tpu.parallel.ring import ring_joint_transport
                 phi_z, phi_theta = ring_joint_transport(
                     kernel, z, theta, dz, dtheta, self.sharding

@@ -174,8 +174,10 @@ def gumbel_soft_graphs_pallas(scores: jnp.ndarray, seed, alpha, tau,
     """Fused Gumbel graph sampling on TPU (soft by default, hard Bernoulli
     with ``hard=True``).
 
-    ``scores``: ``[B, d, d]`` edge scores (``d`` must be a multiple of 128 —
-    the engine falls back to the XLA path otherwise); ``seed``: int32 scalar;
+    ``scores``: ``[B, d, d]`` edge scores. Contract: ``d`` must be a sublane
+    multiple (8) — callers with unaligned ``d`` go through the zero-padding
+    wrapper ``dibs_tpu.ops.soft_graphs._pallas_graphs_padded``, which
+    supports any ``2 <= d <= _MAX_SAMPLER_D``. ``seed``: int32 scalar;
     ``alpha`` may be traced (annealed). Returns ``[B, n_samples, d, d]``
     adjacency samples with zeroed diagonals.
     """

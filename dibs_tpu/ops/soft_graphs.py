@@ -34,6 +34,17 @@ __all__ = ["sample_soft_graphs", "sample_hard_graphs"]
 _MAX_SAMPLER_D = 384
 
 
+def _check_sampler_d(use_pallas: Optional[bool], d: int) -> None:
+    """The VMEM cap applies to *forced* Pallas runs too — a silent OOM deep
+    inside Mosaic is a worse failure than this error."""
+    if use_pallas and d > _MAX_SAMPLER_D:
+        raise ValueError(
+            f"use_pallas=True but d={d} exceeds the Pallas sampler's VMEM "
+            f"cap ({_MAX_SAMPLER_D}); use the XLA path (use_pallas=False or "
+            "None) for graphs this large."
+        )
+
+
 def _sampler_pad(d: int) -> int:
     """d padded to a sublane multiple (the kernel block is [bm, dp, dp];
     padded rows/cols are sliced away by the caller)."""
@@ -79,6 +90,7 @@ def sample_soft_graphs(scores: jnp.ndarray, key, alpha, tau,
     :mod:`dibs_tpu.parallel.shard_ops`).
     """
     b, d, _ = scores.shape
+    _check_sampler_d(use_pallas, d)
     if use_pallas is None:
         use_pallas = pallas_enabled() and d <= _MAX_SAMPLER_D
     if use_pallas and sharding is not None:
@@ -128,6 +140,7 @@ def sample_hard_graphs(scores: jnp.ndarray, key, alpha, n_samples: int,
     ``sharding``: as in :func:`sample_soft_graphs`.
     """
     b, d, _ = scores.shape
+    _check_sampler_d(use_pallas, d)
     if use_pallas is None:
         use_pallas = pallas_enabled() and d <= _MAX_SAMPLER_D
     if use_pallas and sharding is not None:

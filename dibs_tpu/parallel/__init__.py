@@ -95,8 +95,10 @@ def _leaf_spec(sharding: NamedSharding, leaf) -> NamedSharding:
     coincidentally divide a small mesh).
     """
     mesh = sharding.mesh
-    n_dev = mesh.devices.size
-    if hasattr(leaf, "ndim") and leaf.ndim >= 2 and leaf.shape[0] % n_dev == 0 \
+    # divisibility by the particle-axis extent (NOT the total device count:
+    # on a ('p','mc') mesh only the 'p' extent splits the leading dim)
+    p_ext = mesh.shape[PARTICLE_AXIS]
+    if hasattr(leaf, "ndim") and leaf.ndim >= 2 and leaf.shape[0] % p_ext == 0 \
             and leaf.shape[0] > 0:
         return NamedSharding(mesh, P(PARTICLE_AXIS))
     return NamedSharding(mesh, P())

@@ -327,3 +327,110 @@ def test_score_rb_requires_node_decomposition():
             jnp.zeros((1, 3, 3, 2)), None, jnp.zeros(1), 1.0,
             random.split(random.PRNGKey(0), 1),
         )
+
+
+def _exact_grad_theta(model, x, interv, z, theta, alpha):
+    """Autodiff of the exactly-enumerated ``log E_{p(G|Z)}[p(Θ, D | G)]``
+    w.r.t. Θ (the Θ-estimator's estimand, reference dibs.py:467-551)."""
+    gs = _all_graphs()
+    log_pg = jax.vmap(lambda g: edge_ops.latent_log_prob(g, z, alpha))(gs)
+
+    def log_expectation(theta_):
+        log_liks = jax.vmap(
+            lambda g: model.interventional_log_joint_prob(
+                g, theta_, x, interv, None
+            )
+        )(gs)
+        return jax.scipy.special.logsumexp(log_pg + log_liks)
+
+    return jax.grad(log_expectation)(theta)
+
+
+def test_fused_sample_sharing_matches_generic_and_oracle():
+    """The shared-sample fused Z+Θ estimator ('hard' mode): (a) its
+    Z-gradient bit-matches the generic reparam estimator under the same
+    key; (b) its Θ-gradient converges to the exact enumerated Θ-gradient
+    (thresholded Gumbel-max samples are exactly Bernoulli, so the
+    estimator is unbiased).
+
+    Note: a fully-relaxed 'soft' variant (Θ-gradient from the soft graphs
+    too, one shared vjp) was evaluated and REJECTED: its Θ-gradient has
+    cosine ~0.2/-0.1/0.2 to the exact gradient at alpha = 2/10/40 — the
+    soft mask reweights the Θ-prior term continuously and the bias never
+    vanishes — while this 'hard' mode measures 1.000/0.952/0.999 at the
+    same settings.
+    """
+    model, x, interv, z, theta = _setup()
+    t, alpha_linear, n_mc = 10.0, 0.2, 4000
+    alpha = alpha_linear * t
+
+    cfg = EstimatorConfig(
+        alpha_linear=alpha_linear, n_grad_mc_samples=n_mc,
+        grad_estimator_z="reparam",
+    )
+    common = dict(
+        cfg=cfg,
+        log_graph_prior=lambda soft_g: jnp.array(0.0),
+        log_joint_prob=model.interventional_log_joint_prob,
+        x=x,
+        interv_mask=interv,
+    )
+    est_generic = make_estimators(**common)
+    est_fused = make_estimators(fused_sample_sharing="hard", **common)
+    assert est_fused.fused_grad_both is not None
+
+    key = random.PRNGKey(7)
+    keys = random.split(key, 1)
+    dz_gen, _ = est_generic.eltwise_grad_z_likelihood(
+        z[None], theta[None], jnp.zeros(1), t, keys
+    )
+    # fused consumes the same key the generic path reads as keys[0]
+    dz_f, dtheta_f = est_fused.fused_grad_both(z[None], theta[None], t, keys[0])
+    assert jnp.allclose(dz_f, dz_gen, rtol=1e-5, atol=1e-6), (
+        jnp.abs(dz_f - dz_gen).max()
+    )
+
+    exact_t = _exact_grad_theta(model, x, interv, z, theta, alpha)
+    rel_err = jnp.abs(dtheta_f[0] - exact_t).max() / jnp.abs(exact_t).max()
+    assert rel_err < 0.35, f"rel err {rel_err}"
+
+
+def test_score_rb_rejects_ema_baseline():
+    """score_rb applies no EMA control variate; a baseline setting must not
+    be silently ignored (ADVICE r2)."""
+    import pytest as _pytest
+
+    from dibs_tpu.models import LinearGaussian
+
+    model = LinearGaussian(n_vars=3)
+    x = jnp.zeros((4, 3))
+    cfg = EstimatorConfig(
+        grad_estimator_z="score_rb", n_grad_mc_samples=4,
+        score_function_baseline=0.5,
+    )
+    with _pytest.raises(ValueError, match="score_function_baseline"):
+        make_estimators(
+            cfg=cfg, log_graph_prior=lambda soft_g: jnp.array(0.0),
+            log_joint_prob=model.interventional_log_joint_prob,
+            x=x, interv_mask=jnp.zeros_like(x, dtype=jnp.int32),
+        )
+
+
+def test_forced_pallas_sampler_respects_vmem_cap():
+    """Explicit use_pallas=True past the VMEM cap raises a descriptive error
+    instead of a Mosaic OOM (ADVICE r2)."""
+    import pytest as _pytest
+
+    from dibs_tpu.ops.soft_graphs import (
+        _MAX_SAMPLER_D,
+        sample_hard_graphs,
+        sample_soft_graphs,
+    )
+
+    d = _MAX_SAMPLER_D + 8
+    scores = jnp.zeros((1, d, d))
+    with _pytest.raises(ValueError, match="VMEM"):
+        sample_soft_graphs(scores, random.PRNGKey(0), 1.0, 1.0, 2,
+                           use_pallas=True)
+    with _pytest.raises(ValueError, match="VMEM"):
+        sample_hard_graphs(scores, random.PRNGKey(0), 1.0, 2, use_pallas=True)
