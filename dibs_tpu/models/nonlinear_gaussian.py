@@ -112,24 +112,34 @@ class DenseNonlinearGaussian:
 
         ``theta`` is a single particle's pytree (leading dim ``d`` per leaf),
         ``x`` is ``[N, d]``, ``g`` a (possibly soft) ``[d, d]`` adjacency.
-        Node ``j``'s input is masked by its parent column ``g[:, j]``; every
-        layer then runs as one node-batched einsum matmul.
+
+        Node ``j``'s input is masked by its parent column ``g[:, j]``
+        (reference nonlinearGaussian.py:289-294), but the mask is applied to
+        the *first-layer weights* instead of the inputs — algebraically
+        identical, ``(x ⊙ g[:, j]) @ W1_j == x @ (g[:, j, None] ⊙ W1_j)``.
+        Under the estimators' ``[P, M]`` batching this replaces the
+        ``[P, M, d, N, d]`` masked-input tensor (the round-2 cfg3 HBM hot
+        spot: ~600 MB per step at the d=20 benchmark) with the ~20x smaller
+        ``[P, M, d, d, h1]`` masked-weight tensor, and turns the first layer
+        into one shared-``x`` MXU matmul over all particles/samples/nodes.
+        Layers keep ``N`` in the minor (lane) dimension so no small trailing
+        axis gets tile-padded.
         """
         from dibs_tpu.config import likelihood_matmul_precision
 
-        # [d(node), N, d(input var)]
-        h = x[None, :, :] * g.T[:, None, :]
-        n_layers = len(theta)
         prec = likelihood_matmul_precision()
-        for i, layer in enumerate(theta):
-            w = layer[0]
-            h = jnp.einsum("jni,jio->jno", h, w, precision=prec)
+        w1 = theta[0][0]  # [d(node), d(in), h1]
+        w1m = g.T[:, :, None] * w1
+        h = jnp.einsum("ni,jih->jhn", x, w1m, precision=prec)  # [d, h1, N]
+        if self.bias:
+            h = h + theta[0][1][:, :, None]
+        for layer in theta[1:]:
+            h = self._act(h)
+            h = jnp.einsum("jhn,jho->jon", h, layer[0], precision=prec)
             if self.bias:
-                h = h + layer[1][:, None, :]
-            if i < n_layers - 1:
-                h = self._act(h)
-        # [d, N, 1] -> [N, d]
-        return h[..., 0].T
+                h = h + layer[1][:, :, None]
+        # [d, 1, N] -> [N, d]
+        return h[:, 0, :].T
 
     # --- generative sampling ---
 

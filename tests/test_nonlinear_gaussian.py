@@ -152,3 +152,20 @@ def test_activations_all_work():
         assert jnp.isfinite(model.all_node_means(theta, x, g)).all()
     with pytest.raises(KeyError):
         _model(activation="nope")
+
+
+def test_sample_parameters_x64_parity():
+    """The reference sniffs JAX_ENABLE_X64 to sample float64 parameters
+    (nonlinearGaussian.py:184-185). Our sampler inherits the same behavior
+    from JAX's default-dtype mechanism: under x64, `random.normal` yields
+    float64 leaves with no explicit dtype plumbing."""
+    import jax
+
+    model = DenseNonlinearGaussian(n_vars=4, hidden_layers=(3,))
+    theta32 = model.sample_parameters(key=random.PRNGKey(0), n_vars=4)
+    for leaf in jax.tree_util.tree_leaves(theta32):
+        assert leaf.dtype == jnp.float32
+    with jax.enable_x64(True):
+        theta64 = model.sample_parameters(key=random.PRNGKey(0), n_vars=4)
+        for leaf in jax.tree_util.tree_leaves(theta64):
+            assert leaf.dtype == jnp.float64
