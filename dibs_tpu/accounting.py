@@ -1,0 +1,261 @@
+"""Hardware cost accounting: per-step FLOPs/bytes models and rooflines.
+
+VERDICT r2 item 1: every throughput claim needs a hardware denominator.
+This module provides
+
+* an *analytic* per-SVGD-step cost model for each engine configuration,
+  built from the reference hot-loop inventory (SURVEY.md §3.1; reference
+  ``dibs/inference/dibs.py:395-459``, ``linearGaussian.py:63-144``,
+  ``nonlinearGaussian.py:275-305``) and this package's actual operator
+  choices (closed-form REINFORCE direction, one-vjp estimators, GE
+  determinant pairs, log-depth acyclicity chain);
+* the *compiled* cost as XLA reports it (``compiled.cost_analysis()``) for
+  cross-checking the analytic model;
+* a roofline verdict: achieved TFLOP/s, GB/s, percent of peak, and which
+  ceiling (compute / HBM / neither = op-bound) the measured time sits
+  against.
+
+Peaks are per-chip datasheet numbers. TPU v5e (the benchmark device):
+197 bf16 TFLOP/s, ~49 fp32-equivalent TFLOP/s (fp32 matmuls run as
+multi-pass bf16 on the MXU), 819 GB/s HBM.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional
+
+__all__ = ["CHIP_PEAKS", "StepCost", "bge_step_cost", "linear_step_cost",
+           "nonlinear_step_cost", "roofline", "xla_cost_analysis"]
+
+CHIP_PEAKS = {
+    "tpu_v5e": {
+        "bf16_tflops": 197.0,
+        "fp32_tflops": 49.2,
+        "hbm_gbps": 819.0,
+    },
+    # CPU reference host (rough: 1 core AVX-512 @ ~2 GHz)
+    "cpu_1core": {"bf16_tflops": 0.064, "fp32_tflops": 0.128, "hbm_gbps": 20.0},
+}
+
+
+@dataclasses.dataclass
+class StepCost:
+    """Analytic per-step cost, split by phase.
+
+    ``flops``: multiply-accumulate-style floating ops (MXU + VPU), counting
+    one FMA as 2. ``bytes_min``: the *compulsory* HBM traffic of the
+    algorithm as implemented — each major intermediate tensor counted once
+    written + once read (fused consumers counted as zero); this is the
+    floor the implementation aims at, not what a given compiler run
+    achieves. ``transcendentals``: exp/log/sigmoid/gammaln evaluations
+    (VPU-serialized, often the true ceiling for elimination/sampling ops).
+    """
+
+    flops: float
+    bytes_min: float
+    transcendentals: float
+    phases: Dict[str, float]
+
+    def total_row(self, seconds: float, chip: str = "tpu_v5e") -> Dict[str, Any]:
+        return roofline(self.flops, self.bytes_min, self.transcendentals,
+                        seconds, chip)
+
+
+def _sampling_cost(p, m, d):
+    """Gumbel graph sampling: per sample-entry ~1 PRNG draw + log/sigmoid.
+    Pallas path: noise never in HBM; traffic = output only."""
+    n = p * m * d * d
+    return dict(flops=6.0 * n, bytes=4.0 * n, transc=2.0 * n)
+
+
+def _kernel_transport_cost(p, d, k, theta_dim=0):
+    """[P, P] SE kernel + transport matmuls (Gram formulation)."""
+    feat = d * k * 2 + theta_dim
+    flops = 2.0 * p * p * feat * 3  # gram + two transport matmuls
+    bytes_ = 4.0 * (2 * p * feat + 3 * p * p)
+    return dict(flops=flops, bytes=bytes_, transc=p * p)
+
+
+def _acyclicity_cost(p, kmc, d):
+    """E[grad h(G)] via soft samples + log-depth power chain (forward +
+    closed-form VJP: ~(log2 d + 2) batched [d, d] matmuls per sample)."""
+    n_mm = math.ceil(math.log2(max(d, 2))) + 2
+    flops = p * kmc * (2.0 * d * d * d * n_mm)
+    bytes_ = 4.0 * p * kmc * d * d * (n_mm + 2)
+    samp = _sampling_cost(p, kmc, d)
+    return dict(flops=flops + samp["flops"], bytes=bytes_ + samp["bytes"],
+                transc=samp["transc"])
+
+
+def bge_step_cost(*, d, n_obs, p, m, kmc=32, k=None) -> StepCost:
+    """MarginalDiBS + BGe with the ``score`` estimator (config 1).
+
+    Hot op: per (particle, MC sample, node) one bordered-GE determinant
+    pair over the parent-masked ``[d, d]`` posterior matrix
+    (``ops/bge_kernel.py``): ~d^3 FLOPs, d logs. Sufficient statistics
+    are shared across the whole batch (one [d, N, d] contraction).
+    """
+    k = k or d
+    b = p * m * d  # determinant pairs per step
+    phases = {}
+    # masked-matrix build (d^2 per pair) + elimination sweep (~d^3/2 FMA)
+    phases["bge_eliminations"] = b * (d * d * 2.0 + d * d * d)
+    elim_transc = b * (d + 1.0)  # log per pivot + schur log
+    # gamma/score assembly per node
+    phases["bge_gamma_terms"] = 10.0 * p * m * d
+    gamma_transc = 3.0 * p * m * d
+    samp = _sampling_cost(p, m, d)
+    phases["sampling"] = samp["flops"]
+    # REINFORCE direction: closed-form batch matmuls (ops/edges.py)
+    phases["reinforce_dir"] = 2.0 * p * m * d * d * k * 2
+    acy = _acyclicity_cost(p, kmc, d)
+    phases["acyclicity_prior"] = acy["flops"]
+    ker = _kernel_transport_cost(p, d, k)
+    phases["kernel_transport"] = ker["flops"]
+
+    # compulsory traffic: masks in (Pallas kernel reads [B, d] masks,
+    # writes 2 scalars) + sampler output + reinforce grads + prior
+    bytes_min = (
+        4.0 * (b * d + 2 * b)          # det kernel in/out
+        + samp["bytes"]                 # graph samples materialized
+        + 4.0 * p * m * d * d           # reinforce per-sample reads
+        + acy["bytes"] + ker["bytes"]
+        + 4.0 * 3 * p * d * k * 2       # z, grads, update
+    )
+    return StepCost(
+        flops=sum(phases.values()),
+        bytes_min=bytes_min,
+        transcendentals=elim_transc + gamma_transc + samp["transc"]
+        + acy["transc"],
+        phases=phases,
+    )
+
+
+def linear_step_cost(*, d, n_obs, p, m, kmc=32, k=None) -> StepCost:
+    """JointDiBS + LinearGaussian, fused Pallas reparam path (configs 2/4/5).
+
+    Fused kernel: two passes (score + seed-replay gradient) over the MC
+    batch; per (particle, sample): masked-weight matmul ``[N, d] @ [d, d]``
+    forward and its two backward matmuls.
+    """
+    k = k or d
+    phases = {}
+    fwd = 2.0 * n_obs * d * d  # means matmul per (p, m)
+    phases["fused_forward"] = p * m * (fwd + 4.0 * n_obs * d)
+    phases["fused_backward"] = p * m * (2.0 * fwd + 6.0 * d * d)
+    samp = _sampling_cost(p, m, d)
+    phases["sampling_in_kernel"] = samp["flops"]
+    acy = _acyclicity_cost(p, kmc, d)
+    phases["acyclicity_prior"] = acy["flops"]
+    ker = _kernel_transport_cost(p, d, k, theta_dim=d * d)
+    phases["kernel_transport"] = ker["flops"]
+
+    # fused path: graphs/noise/masked-weights never in HBM; traffic is
+    # x (read per tile), dZ/dTheta outputs, prior + transport tensors
+    bytes_min = (
+        4.0 * (p * m / 8.0) * n_obs * d     # x tile re-reads (8-sample groups)
+        + 4.0 * 2 * p * d * d               # dscores + dtheta out
+        + acy["bytes"] + ker["bytes"]
+        + 4.0 * 3 * p * d * k * 2
+    )
+    return StepCost(
+        flops=sum(phases.values()),
+        bytes_min=bytes_min,
+        transcendentals=samp["transc"] + acy["transc"] + p * m * n_obs,
+        phases=phases,
+    )
+
+
+def nonlinear_step_cost(*, d, n_obs, p, m, hidden=(5,), kmc=32,
+                        k=None, shared_sampling=True) -> StepCost:
+    """JointDiBS + DenseNonlinearGaussian (config 3), shared-sample fused
+    estimators: one soft forward + Z-vjp, one hard forward + Θ-vjp.
+    """
+    k = k or d
+    dims = (d, *hidden, 1)
+    fwd = 0.0
+    for i in range(len(dims) - 1):
+        fwd += 2.0 * n_obs * dims[i] * dims[i + 1] * d  # per-node batched
+    fwd += d * d * hidden[0]  # first-layer weight masking
+    phases = {}
+    phases["soft_forward_plus_zvjp"] = p * m * fwd * 3.0
+    phases["hard_forward_plus_tvjp"] = p * m * fwd * 2.5
+    samp = _sampling_cost(p, m if shared_sampling else 2 * m, d)
+    phases["sampling"] = samp["flops"]
+    acy = _acyclicity_cost(p, kmc, d)
+    phases["acyclicity_prior"] = acy["flops"]
+    theta_dim = sum(dims[i] * dims[i + 1] * d + dims[i + 1] * d
+                    for i in range(len(dims) - 1))
+    ker = _kernel_transport_cost(p, d, k, theta_dim=theta_dim)
+    phases["kernel_transport"] = ker["flops"]
+
+    h1 = hidden[0]
+    bytes_min = (
+        samp["bytes"]
+        + 4.0 * p * m * d * d * h1 * 2      # masked first-layer weights (both passes)
+        + 4.0 * p * m * d * h1 * n_obs * 2  # layer-1 activations (fwd+bwd residency)
+        + acy["bytes"] + ker["bytes"]
+        + 4.0 * 3 * (p * d * k * 2 + p * theta_dim)
+    )
+    return StepCost(
+        flops=sum(phases.values()),
+        bytes_min=bytes_min,
+        transcendentals=samp["transc"] + acy["transc"]
+        + 2.0 * p * m * n_obs * d,
+        phases=phases,
+    )
+
+
+def roofline(flops, bytes_, transc, seconds, chip="tpu_v5e",
+             fp32=True) -> Dict[str, Any]:
+    """Achieved rates vs chip peaks + which ceiling binds.
+
+    ``mfu`` uses the fp32 matmul peak by default (the engine keeps
+    likelihood matmuls at HIGHEST precision — measured faster than bf16 at
+    these shapes, benchmarks/RESULTS.md r2 notes).
+    """
+    peaks = CHIP_PEAKS[chip]
+    peak_t = peaks["fp32_tflops"] if fp32 else peaks["bf16_tflops"]
+    tflops = flops / seconds / 1e12
+    gbps = bytes_ / seconds / 1e9
+    # VPU transcendental ceiling: ~1 exp/log per lane-cycle across 8x128
+    # lanes at ~0.94 GHz => ~0.96e12/s on v5e (order-of-magnitude model)
+    transc_rate = transc / seconds / 1e9
+    mfu = tflops / peak_t
+    mem_frac = gbps / peaks["hbm_gbps"]
+    transc_frac = transc_rate / 960.0 if chip == "tpu_v5e" else float("nan")
+    fracs = {"compute": mfu, "hbm": mem_frac, "transcendental": transc_frac}
+    bound = max(fracs, key=lambda kk: fracs[kk] if fracs[kk] == fracs[kk] else -1)
+    return {
+        "seconds_per_step": seconds,
+        "tflops_achieved": round(tflops, 4),
+        "hbm_gbps_achieved": round(gbps, 2),
+        "transc_gops": round(transc_rate, 3),
+        "mfu_pct": round(100 * mfu, 2),
+        "hbm_pct": round(100 * mem_frac, 2),
+        "transc_pct": round(100 * transc_frac, 2)
+        if transc_frac == transc_frac else None,
+        "binding_ceiling": bound,
+        "headroom_x": round(1.0 / max(fracs.values()), 1)
+        if max(fracs.values()) > 0 else None,
+    }
+
+
+def xla_cost_analysis(fn, *args, **kwargs) -> Optional[Dict[str, float]]:
+    """FLOPs / bytes as XLA's compiled cost model reports them (may be
+    unavailable on some backends; returns None then)."""
+    import jax
+
+    try:
+        compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):  # older jax returns [dict]
+            ca = ca[0]
+        return {
+            "flops": float(ca.get("flops", float("nan"))),
+            "bytes_accessed": float(ca.get("bytes accessed", float("nan"))),
+            "transcendentals": float(ca.get("transcendentals", float("nan"))),
+        }
+    except Exception:
+        return None
