@@ -14,8 +14,10 @@ generic dict-based checkpointers lose.
 .. warning::
     :func:`load_state` unpickles the treedef, and unpickling can execute
     arbitrary code — only load checkpoint files you (or your job) wrote.
-    For untrusted or long-term storage use an orbax ``PyTreeCheckpointer``
-    on the same state pytree instead.
+    For untrusted or long-term storage use the orbax backend
+    (:func:`save_state_orbax` / :func:`load_state_orbax`): it stores only
+    raw arrays, and restore rebuilds the structure from a caller-supplied
+    template (e.g. a fresh ``init_state``) — no unpickling anywhere.
 """
 from __future__ import annotations
 
@@ -29,7 +31,8 @@ import numpy as onp
 
 from dibs_tpu.inference.svgd import SVGDState
 
-__all__ = ["save_state", "load_state"]
+__all__ = ["save_state", "load_state", "save_state_orbax",
+           "load_state_orbax"]
 
 _SUFFIX = ".dibs-ckpt.pkl"
 
@@ -57,3 +60,37 @@ def load_state(path: str) -> Any:
         payload = pickle.load(f)
     leaves = [jnp.asarray(leaf) for leaf in payload["leaves"]]
     return jax.tree_util.tree_unflatten(payload["treedef"], leaves)
+
+
+def save_state_orbax(state: SVGDState, path: str) -> None:
+    """Serializes a state pytree with orbax (array-only storage, no pickle).
+
+    Safe for untrusted/long-term storage: the on-disk format holds raw
+    arrays + a JSON structure, never executable payloads. Restore with
+    :func:`load_state_orbax`, passing a structurally-identical template
+    (e.g. ``dibs.init_state(...)`` with the same shapes).
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.abspath(path), args=ocp.args.PyTreeSave(state),
+            force=True,
+        )
+
+
+def load_state_orbax(path: str, like: SVGDState) -> Any:
+    """Restores an orbax checkpoint into the structure of ``like``.
+
+    ``like`` supplies the pytree structure and leaf dtypes (a fresh
+    ``init_state`` from the same engine configuration); its array values
+    are ignored. No unpickling happens — the treedef comes from ``like``,
+    the data from disk.
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            os.path.abspath(path), args=ocp.args.PyTreeRestore(item=like)
+        )
+    return jax.tree_util.tree_map(jnp.asarray, restored)
