@@ -1,10 +1,12 @@
 """Aggregates the golden end-to-end comparison into a markdown report.
 
 Reads ``parity/results/ref_cfg{C}_seed{S}*.json`` (actual reference
-implementation) and ``ours_cfg{C}_seed{S}.json`` (dibs-tpu on the *same*
-synthetic data) and writes ``parity/RESULTS_r2.md`` with per-config
-mean +/- sd of E-SHD / AUROC / neg (M)LL for both posterior estimators,
-plus the throughput table from the CPU timing runs.
+implementation) and ``ours_cfg{C}_seed{S}[_r3].json`` (dibs-tpu on the
+*same* synthetic data; round-3 reruns preferred when present) and writes
+``parity/RESULTS_r3.md`` with per-config mean ± sd AND median [IQR] of
+E-SHD / AUROC / neg (M)LL for both posterior estimators, an outlier note
+for heavy-tailed cells (VERDICT r2 weak-item 2), plus the reference-CPU
+throughput table.
 
 Usage: python parity/compare.py
 """
@@ -26,25 +28,35 @@ CONFIG_NAMES = {
 
 
 def load(side):
+    """{cfg: {seed: record}}; for 'ours', a seed's _r3 rerun wins."""
     pat = os.path.join(RESULTS, f"{side}_cfg*_seed*.json")
     out = {}
     for path in sorted(glob.glob(pat)):
-        m = re.search(rf"{side}_cfg(\d+)_seed(\d+)", os.path.basename(path))
+        m = re.search(rf"{side}_cfg(\d+)_seed(\d+)(_r3)?",
+                      os.path.basename(path))
         if not m:
             continue
-        cfg, seed = int(m.group(1)), int(m.group(2))
+        cfg, seed, is_r3 = int(m.group(1)), int(m.group(2)), bool(m.group(3))
         with open(path) as f:
             d = json.load(f)
         if "empirical" not in d:  # timing-only record
             continue
         if d.get("steps") != 2000:  # smoke runs are not protocol runs
             continue
-        out.setdefault(cfg, {})[seed] = d
+        slot = out.setdefault(cfg, {})
+        if is_r3 or seed not in slot or not slot[seed].get("_is_r3"):
+            d["_is_r3"] = is_r3
+            if is_r3 or seed not in slot:
+                slot[seed] = d
     return out
 
 
-def fmt(vals):
-    vals = [v for v in vals if v is not None]
+def _vals(runs, estimator, key):
+    return [r[estimator].get(key) for r in runs.values()
+            if estimator in r and r[estimator].get(key) is not None]
+
+
+def fmt_mean(vals):
     if not vals:
         return "—"
     if len(vals) == 1:
@@ -52,30 +64,62 @@ def fmt(vals):
     return f"{statistics.mean(vals):.2f} ± {statistics.stdev(vals):.2f}"
 
 
-def metric_row(runs, estimator, key):
-    return fmt([r[estimator].get(key) for r in runs.values()
-                if estimator in r])
+def fmt_median(vals):
+    if not vals:
+        return "—"
+    if len(vals) == 1:
+        return f"{vals[0]:.2f}"
+    q = statistics.quantiles(vals, n=4)
+    return f"{statistics.median(vals):.2f} [{q[0]:.2f}, {q[2]:.2f}]"
+
+
+def outlier_note(cfg, runs, estimator, key):
+    """Flags seeds whose value exceeds 3x the median (positive metrics)."""
+    notes = []
+    vals = {s: r[estimator].get(key) for s, r in runs.items()
+            if estimator in r and r[estimator].get(key) is not None}
+    if len(vals) < 3:
+        return notes
+    med = statistics.median(vals.values())
+    for s, v in sorted(vals.items()):
+        if med > 0 and v > 3 * med:
+            note = (f"outlier: cfg {cfg} seed {s} {estimator}/{key} = "
+                    f"{v:.0f} vs median {med:.0f}")
+            rec = runs[s].get("per_particle")
+            if rec:
+                lls = rec.get("holdout_ll", [])
+                if lls:
+                    worst = min(lls)
+                    note += (f" — worst particle holdout LL {worst:.0f} vs "
+                             f"median particle {statistics.median(lls):.0f}"
+                             f" ({sum(rec.get('cyclic', []))} cyclic)")
+            notes.append(note)
+    return notes
 
 
 def main():
     ref, ours = load("ref"), load("ours")
     lines = [
-        "# Golden end-to-end comparison — round 2",
+        "# Golden end-to-end comparison — round 3",
         "",
         "The ACTUAL reference implementation (`/root/reference/dibs`, run via",
         "the igraph shim) vs dibs-tpu, inferring on **identical synthetic",
         "data** (saved by the reference side), 2000 SVGD steps, reference",
         "protocol seeds. `DiBS` = empirical posterior, `DiBS+` = mixture.",
+        "Cells report mean ± sd and median [IQR] — medians are the robust",
+        "statistic for the heavy-tailed negLL cells.",
         "",
     ]
+    all_notes = []
     for cfg in sorted(set(ref) | set(ours)):
         r, o = ref.get(cfg, {}), ours.get(cfg, {})
-        seeds_r, seeds_o = sorted(r), sorted(o)
         ll_key = "neg_mll" if cfg == 1 else "neg_ll"
+        n_r3 = sum(1 for d in o.values() if d.get("_is_r3"))
         lines += [
             f"## Config {CONFIG_NAMES.get(cfg, cfg)}",
             "",
-            f"reference seeds: {seeds_r} | dibs-tpu seeds: {seeds_o}",
+            f"reference seeds: {sorted(r)} | dibs-tpu seeds: {sorted(o)}"
+            f" ({n_r3} round-3 reruns)",
             "",
             "| metric | reference DiBS | dibs-tpu DiBS |"
             " reference DiBS+ | dibs-tpu DiBS+ |",
@@ -83,15 +127,26 @@ def main():
         ]
         for label, key in [("E-SHD", "eshd"), ("AUROC", "auroc"),
                            (f"neg {'M' if cfg == 1 else ''}LL", ll_key)]:
-            lines.append(
-                f"| {label} | {metric_row(r, 'empirical', key)} "
-                f"| {metric_row(o, 'empirical', key)} "
-                f"| {metric_row(r, 'mixture', key)} "
-                f"| {metric_row(o, 'mixture', key)} |"
-            )
+            for stat, fmt in [("mean±sd", fmt_mean),
+                              ("median [IQR]", fmt_median)]:
+                lines.append(
+                    f"| {label} ({stat}) "
+                    f"| {fmt(_vals(r, 'empirical', key))} "
+                    f"| {fmt(_vals(o, 'empirical', key))} "
+                    f"| {fmt(_vals(r, 'mixture', key))} "
+                    f"| {fmt(_vals(o, 'mixture', key))} |"
+                )
+        lines.append("")
+        for est in ("empirical", "mixture"):
+            all_notes += outlier_note(cfg, o, est, ll_key)
+            all_notes += [n + " (reference side)"
+                          for n in outlier_note(cfg, r, est, ll_key)]
+
+    if all_notes:
+        lines += ["## Outlier notes (values > 3x the seed-median)", ""]
+        lines += [f"- {n}" for n in all_notes]
         lines.append("")
 
-    # throughput table from the timing-only CPU records
     lines += ["## Throughput (reference on CPU — the BASELINE.md baseline)",
               "",
               "| config | reference CPU steps/s |",
@@ -106,7 +161,7 @@ def main():
             )
     lines.append("")
 
-    out = os.path.join(HERE, "RESULTS_r2.md")
+    out = os.path.join(HERE, "RESULTS_r3.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out}")

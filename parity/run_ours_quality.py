@@ -104,6 +104,8 @@ def main():
     p.add_argument("--config", type=int, required=True)
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--out-suffix", type=str, default="",
+                   help="suffix for the result file (e.g. _r3)")
     args = p.parse_args()
 
     dibs, g_gt, x_ho, n_particles, extras = build_config(args.config, args.seed)
@@ -139,8 +141,29 @@ def main():
     for name, dist in dists.items():
         result[name] = metrics_for(dist, g_gt, x_ho, dibs, kind)
 
+    # per-particle diagnostics (outlier root-cause support, VERDICT r2
+    # weak-item 2): held-out log-lik, SHD, and acyclicity per particle
+    from dibs_tpu.metrics import pairwise_structural_hamming_distance
+    from dibs_tpu.ops.acyclic import elwise_acyclic_constr
+
+    if kind == "marginal":
+        per_ll = dibs.eltwise_log_marginal_likelihood_observ(
+            jnp.asarray(gs), jnp.asarray(x_ho))
+    else:
+        per_ll = dibs.eltwise_log_likelihood_observ(
+            jnp.asarray(gs), thetas, jnp.asarray(x_ho))
+    shd = pairwise_structural_hamming_distance(
+        x=jnp.asarray(gs), y=jnp.asarray(g_gt)[None])[:, 0]
+    h = elwise_acyclic_constr(jnp.asarray(gs), gs.shape[-1])
+    result["per_particle"] = {
+        "holdout_ll": [float(v) for v in per_ll],
+        "shd": [float(v) for v in shd],
+        "cyclic": [bool(v) for v in (h > 0)],
+    }
+
     out_path = os.path.join(
-        RESULTS_DIR, f"ours_cfg{args.config}_seed{args.seed}.json")
+        RESULTS_DIR,
+        f"ours_cfg{args.config}_seed{args.seed}{args.out_suffix}.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result), flush=True)
