@@ -318,6 +318,13 @@ def sharded_efficiency(n_vars=32, n_particles=64, n_obs=64):
             "efficiency_vs_unsharded": sps / base_sps,
             "per_device_particles": n_particles // n_dev,
             "device": str(jax.devices()[0]),
+            # honesty label (VERDICT r2 weak-item 5): on the VIRTUAL CPU
+            # mesh all "devices" share one core, so this measures
+            # no-replication correctness (efficiency ~1.0 = the partitioned
+            # program does 1/N work per device), NOT multi-chip speedup —
+            # no multi-chip hardware exists in this environment.
+            "measures": "partitioning-overhead (virtual mesh, one core); "
+                        "NOT a multi-chip speedup measurement",
         }
         print(json.dumps(rec), flush=True)
         results.append(rec)

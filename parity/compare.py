@@ -32,8 +32,10 @@ def load(side):
     pat = os.path.join(RESULTS, f"{side}_cfg*_seed*.json")
     out = {}
     for path in sorted(glob.glob(pat)):
-        m = re.search(rf"{side}_cfg(\d+)_seed(\d+)(_r3)?",
-                      os.path.basename(path))
+        base = os.path.basename(path)
+        if "_rb3" in base:  # score_rb study files — separate table
+            continue
+        m = re.search(rf"{side}_cfg(\d+)_seed(\d+)(_r3)?", base)
         if not m:
             continue
         cfg, seed, is_r3 = int(m.group(1)), int(m.group(2)), bool(m.group(3))

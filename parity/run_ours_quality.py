@@ -39,7 +39,7 @@ from dibs_tpu.target import make_graph_model  # noqa: E402
 RESULTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
 
 
-def build_config(idx, seed):
+def build_config(idx, seed, grad_estimator_z=None):
     """Builds dibs-tpu models on the reference-generated data."""
     path = os.path.join(RESULTS_DIR, f"data_cfg{idx}_seed{seed}.npz")
     if not os.path.exists(path):
@@ -51,8 +51,11 @@ def build_config(idx, seed):
 
     if idx == 1:
         gm = make_graph_model(n_vars=n_vars, graph_prior_str="er")
+        kw = {}
+        if grad_estimator_z:
+            kw["grad_estimator_z"] = grad_estimator_z
         dibs = MarginalDiBS(x=x, graph_model=gm,
-                            likelihood_model=BGe(n_vars=n_vars))
+                            likelihood_model=BGe(n_vars=n_vars), **kw)
         return dibs, g, x_ho, 30, {"kind": "marginal"}
     if idx == 2:
         gm = make_graph_model(n_vars=n_vars, graph_prior_str="sf")
@@ -106,9 +109,13 @@ def main():
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--out-suffix", type=str, default="",
                    help="suffix for the result file (e.g. _r3)")
+    p.add_argument("--grad-estimator-z", type=str, default=None,
+                   help="override the Z gradient estimator "
+                        "(config 1 only; e.g. score_rb)")
     args = p.parse_args()
 
-    dibs, g_gt, x_ho, n_particles, extras = build_config(args.config, args.seed)
+    dibs, g_gt, x_ho, n_particles, extras = build_config(
+        args.config, args.seed, args.grad_estimator_z)
     kind = extras["kind"]
 
     # same key protocol as the reference-side script: PRNGKey(seed), one

@@ -43,4 +43,17 @@ for cfg in 1 3; do
     echo "=== ours-r3 cfg $cfg seed $seed done $(date) rc=$? ==="
   done
 done
+# score_rb study (VERDICT r2 item 3a): config 1 with the Rao-Blackwellized
+# estimator over the same seeds — quality + wall time vs 'score'
+for seed in 123 0 1 2 3; do
+  out="parity/results/ours_cfg1_seed${seed}_rb3.json"
+  data="parity/results/data_cfg1_seed${seed}.npz"
+  [ -f "$out" ] && { echo "=== rb cfg 1 seed $seed already done ==="; continue; }
+  [ ! -f "$data" ] && continue
+  echo "=== rb cfg 1 seed $seed start $(date) ==="
+  python parity/run_ours_quality.py --config 1 --seed "$seed" \
+    --steps 2000 --out-suffix _rb3 --grad-estimator-z score_rb \
+    > "parity/logs/ours_cfg1_seed${seed}_rb3.log" 2>&1
+  echo "=== rb cfg 1 seed $seed done $(date) rc=$? ==="
+done
 echo "R3 PARITY EXTENSION DONE"

@@ -43,11 +43,17 @@ def chain_time(fn, arg, n=20):
             a = fn(a)
         return a
 
+    def sync(o):
+        # device_get of one scalar: forces real remote completion (the
+        # axon tunnel acks dispatch on block_until_ready — RESULTS.md note)
+        leaf = jax.tree_util.tree_leaves(o)[0]
+        return jax.device_get(leaf.ravel()[0])
+
     out = chained(arg)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     out = chained(arg)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / n
 
 
@@ -163,6 +169,29 @@ def main():
     ms = chain_time(step, state)
     print(f"FULL STEP:                       {ms*1e3:8.3f} ms "
           f"({1e3/ (ms*1e3):.1f} steps/s)")
+
+    # --- roofline accounting (VERDICT r2 item 1) ---
+    from dibs_tpu.accounting import bge_step_cost, nonlinear_step_cost
+
+    if args.config == 1:
+        cost = bge_step_cost(d=d, n_obs=dibs.x.shape[0], p=n_particles,
+                             m=cfg.n_grad_mc_samples,
+                             kmc=cfg.n_acyclicity_mc_samples)
+    else:
+        cost = nonlinear_step_cost(d=d, n_obs=dibs.x.shape[0],
+                                   p=n_particles, m=cfg.n_grad_mc_samples,
+                                   kmc=cfg.n_acyclicity_mc_samples)
+    row = cost.total_row(ms)
+    print(f"model: {cost.flops/1e9:.2f} GFLOP/step, "
+          f"{cost.bytes_min/1e6:.0f} MB/step compulsory, "
+          f"{cost.transcendentals/1e6:.0f}M transcendentals")
+    print(f"achieved: {row['tflops_achieved']:.2f} TF/s "
+          f"({row['mfu_pct']:.1f}% of fp32 peak), "
+          f"{row['hbm_gbps_achieved']:.0f} GB/s ({row['hbm_pct']:.1f}% HBM), "
+          f"binding ceiling: {row['binding_ceiling']} "
+          f"(headroom {row['headroom_x']}x)")
+    print("phase GFLOPs:", {k: round(v / 1e9, 2)
+                            for k, v in cost.phases.items()})
 
 
 if __name__ == "__main__":
