@@ -133,6 +133,7 @@ def make_estimators(
     x: jnp.ndarray,
     interv_mask: jnp.ndarray,
     fused_linear_model=None,
+    fused_nonlinear_model=None,
     use_pallas=None,
     sharding=None,
     node_log_joint_prob=None,
@@ -592,6 +593,32 @@ def make_estimators(
                 f"{fused_sample_sharing!r}"
             )
         fused_grad_both = _make_fused_shared()
+
+    # --- fused single-pass Pallas path (DenseNonlinearGaussian) ---
+    if (fused_nonlinear_model is not None
+            and cfg.grad_estimator_z == "reparam" and sharding is None):
+        from dibs_tpu.inference.fused_nonlinear import (
+            fused_nonlinear_available,
+            fused_nonlinear_estimators,
+        )
+
+        if fused_nonlinear_available(fused_nonlinear_model):
+            model_nl = fused_nonlinear_model
+
+            def fused_grad_both(zs, thetas, t, key,  # noqa: F811
+                                x=None, interv_mask=None):
+                x_, interv_ = _data(x, interv_mask)
+                dscores, dtheta = fused_nonlinear_estimators(
+                    zs=zs, thetas=thetas, x=x_, interv_mask=interv_,
+                    key=key, alpha=cfg.alpha(t), tau=cfg.tau,
+                    n_samples=cfg.n_grad_mc_samples, model=model_nl,
+                )
+                # chain d/d scores -> d/dZ:  dU = dS V,  dV = dSᵀ U
+                u, v = zs[..., 0], zs[..., 1]
+                du = jnp.einsum("pij,pjk->pik", dscores, v)
+                dv = jnp.einsum("pij,pik->pjk", dscores, u)
+                dz = jnp.stack([du, dv], axis=-1)
+                return dz, dtheta
     if fused_linear_model is not None and cfg.grad_estimator_z == "reparam":
         from dibs_tpu.inference.fused_linear import (
             fused_linear_available,

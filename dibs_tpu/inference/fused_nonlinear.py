@@ -1,0 +1,470 @@
+"""Fused single-pass sample-and-score kernel for DenseNonlinearGaussian.
+
+Computes BOTH likelihood gradients of the joint engine — the Gumbel-softmax
+reparameterization Z-gradient and the hard-sample Θ-gradient — in ONE
+Pallas kernel pass over the MC sample batch, for single-hidden-layer MLP
+conditionals (the reference default, nonlinearGaussian.py:105).
+
+Like the linear kernel (``fused_linear.py``), graphs and Logistic noise are
+generated in VMEM from the hardware PRNG (never touching HBM) in a "wide"
+2-D layout: a group of ``bm`` samples lives as ``[d, bm*d]`` lane-
+concatenated blocks, so every layer is a ``[N, d] @ [d, bm*d]`` MXU matmul
+and per-sample reductions are indicator matmuls.
+
+Unlike the linear kernel there is NO second (seed-replay) pass: the
+self-normalized estimators need softmax weights over all M samples, and a
+two-pass design would recompute every forward. Instead the kernel keeps an
+**online softmax** per particle (flash-attention style): running max ``M``
+and normalizer ``Z`` for the soft and hard log-probability streams, with
+the gradient accumulators rescaled by ``exp(M_old - M_new)`` whenever the
+max advances; after the last group the accumulators divide by ``Z``. This
+makes the gradient estimate exactly
+
+    sum_m softmax(l)_m * grad_m
+
+in one pass with no stored per-sample state — ~1.5x fewer matmuls than the
+two-pass form and a single kernel launch.
+
+Gradient math (single hidden layer, act σ, per node j, parent mask g[:,j]):
+
+    pre_h = x @ (g[:, j] ⊙ W1[j, :, h]) + b1[j, h]
+    mean  = Σ_h act(pre_h) W2[j, h] + b2[j]
+    δ     = (x - mean) keep / obs_noise
+    u_h   = δ · act'(pre_h) · W2[j, h]
+    ∂ll/∂W1[j,i,h] = g[i,j] xᵀ u_h      ∂ll/∂b1[j,h] = Σ_n u_h
+    ∂ll/∂W2[j,h]   = Σ_n δ act(pre_h)   ∂ll/∂b2[j]   = Σ_n δ
+    ∂/∂g[i,j]      = L1[i,j] + W1[j,i,h] (xᵀ u_h)    (L1 = masked-prior)
+    dscores        = τ α g_soft (1-g_soft) ∂/∂g       (soft stream)
+
+Sample-independent prior-gradient terms (unmasked leaves) are added
+OUTSIDE the kernel: softmax weights sum to 1, so they contribute their
+plain value. The masked first-layer prior gradient ``g ⊙ (-W1/σ_p²)``
+depends on the hard sample and stays in-kernel.
+
+Only the per-particle log-likelihood *differences* matter (softmax is
+shift-invariant), so constant prior terms are dropped from the streams.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS = True
+except ImportError:  # pragma: no cover
+    _PALLAS = False
+
+from dibs_tpu.ops.soft_graphs import _key_to_seed
+
+__all__ = ["fused_nonlinear_estimators", "fused_nonlinear_available"]
+
+_LANE = 128
+_SUB = 8
+_MAX_D = 256
+_MAX_H = 16
+
+_ACTS = {
+    "relu": (lambda x: jnp.maximum(x, 0.0),
+             lambda x: (x > 0.0).astype(jnp.float32)),
+    "tanh": (jnp.tanh, lambda x: 1.0 - jnp.tanh(x) ** 2),
+    "sigmoid": (jax.nn.sigmoid,
+                lambda x: jax.nn.sigmoid(x) * (1.0 - jax.nn.sigmoid(x))),
+    "leakyrelu": (lambda x: jnp.where(x > 0.0, x, 0.01 * x),
+                  lambda x: jnp.where(x > 0.0, 1.0, 0.01)),
+}
+
+
+def fused_nonlinear_available(model) -> bool:
+    """True when the fused kernel supports this model on this backend."""
+    from dibs_tpu.ops.pallas_kernels import pallas_enabled
+
+    return (
+        _PALLAS and pallas_enabled()
+        and len(model.hidden_layers) == 1
+        and model.hidden_layers[0] <= _MAX_H
+        and 2 <= model.n_vars <= _MAX_D
+        and model.activation in _ACTS
+        and model.bias
+    )
+
+
+def _round_up(v, m):
+    return ((v + m - 1) // m) * m
+
+
+def _pad_plan_nl(d: int, n_samples: int):
+    """``(dp, bm, m_total)``: d padded to a sublane multiple; bm = smallest
+    group size making the wide width ``bm*dp`` a lane multiple."""
+    dp = _round_up(max(d, 2), _SUB)
+    import math
+
+    bm = _LANE // math.gcd(dp, _LANE)
+    return dp, bm, _round_up(n_samples, bm)
+
+
+def _gen_uniform(shape):
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    top = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    return top.astype(jnp.float32) * (1.0 / (1 << 24)) + 0.5 / (1 << 24)
+
+
+def _make_nl_kernel(*, n_samples: int, m_total: int, bm: int, h1: int,
+                    tau: float, obs_noise: float, sig_param: float,
+                    activation: str, debug_noise: bool):
+    """Kernel body. Grid ``(P,)``; one cell = one particle, all samples."""
+    inv_var = 1.0 / obs_noise
+    inv_varp = 1.0 / (sig_param * sig_param)
+    act, dact = _ACTS[activation]
+    n_groups = m_total // bm
+    fast_soft = tau == 1.0
+
+    def kernel(*refs):
+        if debug_noise:
+            (seed_ref, alpha_ref, scores_ref, w1_ref, l1_ref, b1_ref,
+             w2_ref, x_ref, wobs_ref, noise_ref,
+             dscores_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+             lse_ref) = refs
+        else:
+            (seed_ref, alpha_ref, scores_ref, w1_ref, l1_ref, b1_ref,
+             w2_ref, x_ref, wobs_ref,
+             dscores_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+             lse_ref) = refs
+
+        p_idx = pl.program_id(0)
+        alpha = alpha_ref[0, 0]
+        scores = scores_ref[0]      # [dp, dp]
+        l1 = l1_ref[0]              # [dp, dp] masked-prior logpdf sums
+        w1 = w1_ref[0]              # [h1, dp(in i), dp(node j)]
+        b1 = b1_ref[0]              # [h1, dp]
+        w2 = w2_ref[0]              # [h1+1, dp] (row h1 = b2)
+        x = x_ref[:]                # [Np, dp]
+        wobs = wobs_ref[:]          # [Np, dp]
+
+        dp = scores.shape[-1]
+        wd = bm * dp
+
+        def tile(a):
+            return jnp.concatenate([a] * bm, axis=1)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (dp, dp), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (dp, dp), 1)
+        offdiag_t = tile((row != col).astype(jnp.float32))
+
+        # lane k of a wide block belongs to sample k//dp, node k%dp
+        lanes_w_d = jax.lax.broadcasted_iota(jnp.int32, (wd, dp), 0)
+        within_d = jax.lax.broadcasted_iota(jnp.int32, (wd, dp), 1)
+        s_mat = (lanes_w_d % dp == within_d).astype(jnp.float32)
+        # lane -> sample one-hot (per-sample reduce / weight broadcast)
+        lanes_w_b = jax.lax.broadcasted_iota(jnp.int32, (wd, bm), 0)
+        sample_b = jax.lax.broadcasted_iota(jnp.int32, (wd, bm), 1)
+        b_mat = (lanes_w_b // dp == sample_b).astype(jnp.float32)
+
+        sig_as_t = tile(jax.nn.sigmoid(alpha * scores))
+        if fast_soft:
+            exp_neg_t = tile(jnp.exp(-alpha * scores))
+        else:
+            alpha_scores_t = tile(alpha * scores)
+        l1_t = tile(l1)
+        x_t = jnp.concatenate([x] * bm, axis=1)   # [Np, wd]
+        w_t = jnp.concatenate([wobs] * bm, axis=1)
+        w1_t = [tile(w1[hh]) for hh in range(h1)]         # [dp, wd] each
+        b1_t = [tile(b1[hh:hh + 1, :]) for hh in range(h1)]  # [1, wd]
+        w2_t = [tile(w2[hh:hh + 1, :]) for hh in range(h1)]
+        b2_t = tile(w2[h1:h1 + 1, :])                     # [1, wd]
+        dprior_w1_t = [-inv_varp * a for a in w1_t]
+
+        log_norm = -0.5 * jnp.log(2.0 * jnp.pi * obs_noise)
+
+        # per-group sample validity (padded samples masked out of softmax)
+        sample_iota = jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
+
+        if not debug_noise:
+            # (skipped in debug mode: prng_seed has no CPU interpret rule)
+            pltpu.prng_seed(seed_ref[0, 0] + p_idx * jnp.int32(1000003))
+
+        # zero the accumulators (grid cell owns its whole output block)
+        dscores_ref[0] = jnp.zeros_like(dscores_ref[0])
+        dw1_ref[0] = jnp.zeros_like(dw1_ref[0])
+        db1_ref[0] = jnp.zeros_like(db1_ref[0])
+        dw2_ref[0] = jnp.zeros_like(dw2_ref[0])
+        db2_ref[0] = jnp.zeros_like(db2_ref[0])
+
+        neg_big = jnp.float32(-3.0e38)
+
+        def forward(g_t):
+            """g_t [dp, wd] -> (ll [1, wd], δ [Np, wd], pre list, a list)."""
+            pres, acts_ = [], []
+            mean = jnp.broadcast_to(b2_t, x_t.shape)
+            for hh in range(h1):
+                wmask = g_t * w1_t[hh]
+                pre = jnp.dot(x, wmask, preferred_element_type=jnp.float32)
+                pre = pre + b1_t[hh]
+                a = act(pre)
+                pres.append(pre)
+                acts_.append(a)
+                mean = mean + a * w2_t[hh]
+            resid = (x_t - mean) * w_t
+            ll = jnp.sum(w_t * (-0.5 * inv_var * resid * resid + log_norm),
+                         axis=0, keepdims=True)
+            ll = ll + jnp.sum(g_t * l1_t, axis=0, keepdims=True)
+            delta = inv_var * resid
+            return ll, delta, pres, acts_
+
+        def body(grp, carry):
+            m_soft, z_soft, m_hard, z_hard = carry
+            m0 = grp * bm
+
+            if debug_noise:
+                u0 = noise_ref[0, 0, pl.ds(grp * dp, dp), :]
+                u1 = noise_ref[0, 1, pl.ds(grp * dp, dp), :]
+            else:
+                u = _gen_uniform((2, dp, wd))
+                u0, u1 = u[0], u[1]
+            if fast_soft:
+                g_soft = offdiag_t / (1.0 + (1.0 / u0 - 1.0) * exp_neg_t)
+            else:
+                eps0 = jnp.log(u0) - jnp.log1p(-u0)
+                g_soft = jax.nn.sigmoid(tau * (eps0 + alpha_scores_t)) \
+                    * offdiag_t
+            g_hard = (u1 < sig_as_t).astype(jnp.float32) * offdiag_t
+
+            valid = (m0 + sample_iota) < n_samples   # [1, bm]
+
+            ll_lane_s, delta_s, pre_s, act_s = forward(g_soft)
+            ll_lane_h, delta_h, pre_h, act_h = forward(g_hard)
+            # per-sample log-probs: reduce each sample's dp node-lanes
+            ll_s = jnp.dot(ll_lane_s, b_mat,
+                           preferred_element_type=jnp.float32)  # [1, bm]
+            ll_h = jnp.dot(ll_lane_h, b_mat,
+                           preferred_element_type=jnp.float32)
+            ll_s = jnp.where(valid, ll_s, neg_big)
+            ll_h = jnp.where(valid, ll_h, neg_big)
+
+            # --- online softmax state updates (per sample) ---
+            grp_max_s = jnp.max(ll_s)
+            grp_max_h = jnp.max(ll_h)
+            new_m_s = jnp.maximum(m_soft, grp_max_s)
+            new_m_h = jnp.maximum(m_hard, grp_max_h)
+            scale_s = jnp.exp(m_soft - new_m_s)
+            scale_h = jnp.exp(m_hard - new_m_h)
+            w_smp_s = jnp.where(valid, jnp.exp(ll_s - new_m_s), 0.0)
+            w_smp_h = jnp.where(valid, jnp.exp(ll_h - new_m_h), 0.0)
+            z_soft = z_soft * scale_s + jnp.sum(w_smp_s)
+            z_hard = z_hard * scale_h + jnp.sum(w_smp_h)
+            # broadcast each sample's weight to its dp lanes
+            w_lane_s = jnp.dot(w_smp_s, b_mat.T,
+                               preferred_element_type=jnp.float32)  # [1, wd]
+            w_lane_h = jnp.dot(w_smp_h, b_mat.T,
+                               preferred_element_type=jnp.float32)
+
+            dscores_ref[0] *= scale_s
+            dw1_ref[0] *= scale_h
+            db1_ref[0] *= scale_h
+            dw2_ref[0] *= scale_h
+            db2_ref[0] *= scale_h
+
+            # --- soft stream -> dscores ---
+            dg = l1_t
+            for hh in range(h1):
+                u_h = delta_s * dact(pre_s[hh]) * w2_t[hh]
+                xtu = jax.lax.dot_general(
+                    x, u_h, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [dp, wd]
+                dg = dg + w1_t[hh] * xtu
+            sens = tau * alpha * g_soft * (1.0 - g_soft)
+            contrib = w_lane_s * sens * dg
+            dscores_ref[0] += jnp.dot(contrib, s_mat,
+                                      preferred_element_type=jnp.float32)
+
+            # --- hard stream -> theta gradients ---
+            delta_hw = w_lane_h * delta_h          # weight folded into δ
+            db2_ref[0] += jnp.dot(
+                jnp.sum(delta_hw, axis=0, keepdims=True), s_mat,
+                preferred_element_type=jnp.float32,
+            )
+            for hh in range(h1):
+                u_h = delta_hw * dact(pre_h[hh]) * w2_t[hh]
+                xtu = jax.lax.dot_general(
+                    x, u_h, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dw1_wide = g_hard * (xtu + w_lane_h * dprior_w1_t[hh])
+                dw1_ref[0, hh] += jnp.dot(dw1_wide, s_mat,
+                                          preferred_element_type=jnp.float32)
+                db1_ref[0, hh:hh + 1, :] += jnp.dot(
+                    jnp.sum(u_h, axis=0, keepdims=True), s_mat,
+                    preferred_element_type=jnp.float32,
+                )
+                dw2_ref[0, hh:hh + 1, :] += jnp.dot(
+                    jnp.sum(delta_hw * act_h[hh], axis=0, keepdims=True),
+                    s_mat, preferred_element_type=jnp.float32,
+                )
+
+            return new_m_s, z_soft, new_m_h, z_hard
+
+        init = (neg_big, jnp.float32(0.0), neg_big, jnp.float32(0.0))
+        m_s, z_s, m_h, z_h = jax.lax.fori_loop(0, n_groups, body, init)
+
+        dscores_ref[0] = dscores_ref[0] / z_s
+        dw1_ref[0] = dw1_ref[0] / z_h
+        db1_ref[0] = db1_ref[0] / z_h
+        dw2_ref[0] = dw2_ref[0] / z_h
+        db2_ref[0] = db2_ref[0] / z_h
+        lse_ref[0] = jnp.stack(
+            [m_s + jnp.log(z_s), m_h + jnp.log(z_h)]
+        ).reshape(2, 1)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_samples", "m_total", "bm", "h1", "tau", "obs_noise",
+                     "sig_param", "activation", "interpret"),
+)
+def _fused_nl_call(seed, alpha, scores, w1t, l1, b1t, w2t, x_pad, w_pad,
+                   noise, *, n_samples, m_total, bm, h1, tau, obs_noise,
+                   sig_param, activation, interpret=False):
+    p, dp, _ = scores.shape
+    n_pad = x_pad.shape[0]
+    debug_noise = noise is not None
+    kernel = _make_nl_kernel(
+        n_samples=n_samples, m_total=m_total, bm=bm, h1=h1, tau=tau,
+        obs_noise=obs_noise, sig_param=sig_param, activation=activation,
+        debug_noise=debug_noise,
+    )
+    smem = lambda: pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
+    pdd = lambda: pl.BlockSpec((1, dp, dp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    in_specs = [
+        smem(), smem(), pdd(),
+        pl.BlockSpec((1, h1, dp, dp), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pdd(),
+        pl.BlockSpec((1, h1, dp), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h1 + 1, dp), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_pad, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_pad, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [seed, alpha, scores, w1t, l1, b1t, w2t, x_pad, w_pad]
+    if debug_noise:
+        # [P, 2, n_groups*dp, wd] uniforms (tests only)
+        in_specs.append(
+            pl.BlockSpec((1,) + noise.shape[1:],
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(noise)
+    out_specs = [
+        pdd(),
+        pl.BlockSpec((1, h1, dp, dp), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h1, dp), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h1, dp), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, dp), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, 1), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((p, dp, dp), jnp.float32),
+        jax.ShapeDtypeStruct((p, h1, dp, dp), jnp.float32),
+        jax.ShapeDtypeStruct((p, h1, dp), jnp.float32),
+        jax.ShapeDtypeStruct((p, h1, dp), jnp.float32),
+        jax.ShapeDtypeStruct((p, 1, dp), jnp.float32),
+        jax.ShapeDtypeStruct((p, 2, 1), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel, grid=(p,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape, interpret=interpret,
+    )(*args)
+
+
+def fused_nonlinear_estimators(
+    *, zs, thetas, x, interv_mask, key, alpha, tau, n_samples, model,
+    seed_offset=0, interpret=False, debug_noise=None,
+) -> Tuple[jnp.ndarray, list]:
+    """Computes ``(dscores [P, d, d], dtheta pytree)`` for
+    :class:`~dibs_tpu.models.DenseNonlinearGaussian` with one hidden layer.
+
+    ``dscores`` is the reparam Z-likelihood gradient w.r.t. the edge-score
+    matrix (chain to Z outside); ``dtheta`` matches the model's parameter
+    pytree ``[(W1, b1), (W2, b2)]`` with leading particle dim.
+
+    ``debug_noise``: optional ``[P, 2, m_total*dp, bm*dp]`` uniforms for
+    deterministic tests (replaces the hardware PRNG stream).
+    """
+    from dibs_tpu.ops.edges import edge_scores
+
+    p, d, _, _ = zs.shape
+    h1 = model.hidden_layers[0]
+    dp, bm, m_total = _pad_plan_nl(d, n_samples)
+    n_obs = x.shape[0]
+    n_pad = _round_up(max(n_obs, _SUB), _SUB)
+
+    (w1, b1), (w2, b2) = thetas[0], thetas[1]
+    # wide layouts: W1 -> [P, h1, dp(in), dp(node)]; b1 -> [P, h1, dp];
+    # W2 -> [P, h1+1, dp] with b2 as the extra row h1
+    w1_perm = jnp.transpose(w1, (0, 3, 2, 1))  # [P, h1, d(in), d(node)]
+    w1t = jnp.zeros((p, h1, dp, dp), jnp.float32).at[:, :, :d, :d].set(
+        w1_perm)
+    # masked-prior logpdf sums: L1[i, j] = sum_h logpdf(W1[j, i, h])
+    sp = model.sig_param
+    logpdf_w1 = (-0.5 * jnp.square(w1 / sp) - jnp.log(sp)
+                 - 0.5 * jnp.log(2.0 * jnp.pi))  # [P, d, d, h1]
+    l1_full = jnp.transpose(jnp.sum(logpdf_w1, axis=-1), (0, 2, 1))  # [P,i,j]
+    l1 = jnp.zeros((p, dp, dp), jnp.float32).at[:, :d, :d].set(l1_full)
+
+    b1t = jnp.zeros((p, h1, dp), jnp.float32).at[:, :, :d].set(
+        jnp.transpose(b1, (0, 2, 1)))
+    # W2 rows 0..h1-1; row h1 = b2 (the kernel adds it as a constant mean
+    # term by treating its "activation" as 1 — implemented by adding b2 to
+    # the mean outside the act loop; we pass it in the same ref)
+    w2t = jnp.zeros((p, h1 + 1, dp), jnp.float32)
+    w2t = w2t.at[:, :h1, :d].set(jnp.transpose(w2[..., 0], (0, 2, 1)))
+    w2t = w2t.at[:, h1, :d].set(b2[..., 0])
+
+    x_pad = jnp.zeros((n_pad, dp), jnp.float32).at[:n_obs, :d].set(x)
+    w_pad = jnp.zeros((n_pad, dp), jnp.float32).at[:n_obs, :d].set(
+        1.0 - interv_mask.astype(jnp.float32))
+
+    scores = jnp.zeros((p, dp, dp), jnp.float32).at[:, :d, :d].set(
+        edge_scores(zs))
+
+    seed = (
+        _key_to_seed(key)
+        + jnp.asarray(seed_offset, jnp.int32) * jnp.int32(1000003)
+    ).reshape(1, 1)
+    alpha_arr = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+
+    dscores, dw1, db1, dw2, db2, _lse = _fused_nl_call(
+        seed, alpha_arr, scores, w1t, l1, b1t, w2t, x_pad, w_pad,
+        debug_noise,
+        n_samples=n_samples, m_total=m_total, bm=bm, h1=h1, tau=float(tau),
+        obs_noise=float(model.obs_noise), sig_param=float(model.sig_param),
+        activation=model.activation, interpret=interpret,
+    )
+
+    dscores = dscores[:, :d, :d]
+    # back to model layout + sample-independent prior-gradient terms
+    # (softmax weights sum to 1, so they add their plain value):
+    inv_varp = 1.0 / (sp * sp)
+    dw1_out = jnp.transpose(dw1[:, :, :d, :d], (0, 3, 2, 1))  # [P,d,d,h1]
+    db1_out = jnp.transpose(db1[:, :, :d], (0, 2, 1)) - inv_varp * b1
+    dw2_out = (jnp.transpose(dw2[:, :, :d], (0, 2, 1))[..., None]
+               - inv_varp * w2)
+    db2_out = db2[:, 0, :d][..., None] - inv_varp * b2
+    dtheta = [(dw1_out, db1_out), (dw2_out, db2_out)]
+    return dscores, dtheta

@@ -35,6 +35,7 @@ from dibs_tpu.inference.transport import joint_transport, marginal_transport
 from dibs_tpu.kernel import AdditiveFrobeniusSEKernel, JointAdditiveFrobeniusSEKernel
 from dibs_tpu.metrics import ParticleDistribution
 from dibs_tpu.models.linear_gaussian import LinearGaussian
+from dibs_tpu.models.nonlinear_gaussian import DenseNonlinearGaussian
 from dibs_tpu.ops import edges as edge_ops
 
 __all__ = ["SVGDState", "DiBS", "MarginalDiBS", "JointDiBS"]
@@ -95,7 +96,8 @@ class DiBS:
                  sharding=None,
                  node_log_joint_prob=None,
                  fused_sample_sharing=None,
-                 batched_node_log_joint_prob=None):
+                 batched_node_log_joint_prob=None,
+                 fused_nonlinear_model=None):
         self.x = jnp.asarray(x)
         self.interv_mask = jnp.asarray(interv_mask)
         self.n_vars = self.x.shape[-1]
@@ -125,6 +127,7 @@ class DiBS:
             node_log_joint_prob=node_log_joint_prob,
             fused_sample_sharing=fused_sample_sharing,
             batched_node_log_joint_prob=batched_node_log_joint_prob,
+            fused_nonlinear_model=fused_nonlinear_model,
         )
 
     # --- reference-compatible schedule / latent->graph helpers ---
@@ -547,6 +550,13 @@ class JointDiBS(DiBS):
             fused_linear_model=(
                 likelihood_model
                 if isinstance(likelihood_model, LinearGaussian)
+                else None
+            ),
+            # single-pass online-softmax Pallas kernel for one-hidden-layer
+            # MLP likelihoods (inference/fused_nonlinear.py)
+            fused_nonlinear_model=(
+                likelihood_model
+                if isinstance(likelihood_model, DenseNonlinearGaussian)
                 else None
             ),
             sharding=sharding,

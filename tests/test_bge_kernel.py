@@ -12,6 +12,8 @@ from dibs_tpu.models.linear_gaussian import BGe
 from dibs_tpu.ops.bge_kernel import bge_logdet_pairs
 from dibs_tpu.ops.logdet import masked_logdet_pd_pair
 
+pytestmark = pytest.mark.heavy  # compile-heavy; excluded from `make test-fast`
+
 
 def _random_case(key, d, b, interventional=False):
     k1, k2, k3 = random.split(key, 3)

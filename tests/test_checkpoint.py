@@ -5,6 +5,9 @@ from jax import random
 from dibs_tpu.checkpoint import load_state, save_state
 from dibs_tpu.inference import JointDiBS
 from dibs_tpu.target import make_linear_gaussian_model
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy; excluded from `make test-fast`
 
 
 def test_checkpoint_resume_exact(tmp_path):

@@ -19,6 +19,8 @@ from dibs_tpu.models.graph import ErdosReniDAGDistribution
 from dibs_tpu.models.linear_gaussian import LinearGaussian
 from dibs_tpu.ops import edges as edge_ops
 
+pytestmark = pytest.mark.heavy  # compile-heavy; excluded from `make test-fast`
+
 D = 3
 _OFFDIAG = [(i, j) for i in range(D) for j in range(D) if i != j]
 

@@ -25,9 +25,20 @@ def test_engine_runs_without_fused_path():
     dibs = JointDiBS(
         x=data.x, graph_model=gm, likelihood_model=lm,
         n_grad_mc_samples=4, n_acyclicity_mc_samples=2,
+        fused_sample_sharing=None,
     )
-    assert dibs.est.fused_grad_both is None  # CPU: gate closed
+    assert dibs.est.fused_grad_both is None  # CPU: Pallas gate closed
     gs, thetas = dibs.sample(key=random.PRNGKey(1), n_particles=3, steps=5)
+    assert jnp.isfinite(thetas).all()
+
+    # default: the generic shared-sample fused estimator serves the joint
+    # engine even off-TPU (round-3 'hard' sampling-sharing default)
+    dibs2 = JointDiBS(
+        x=data.x, graph_model=gm, likelihood_model=lm,
+        n_grad_mc_samples=4, n_acyclicity_mc_samples=2,
+    )
+    assert dibs2.est.fused_grad_both is not None
+    gs, thetas = dibs2.sample(key=random.PRNGKey(1), n_particles=3, steps=5)
     assert jnp.isfinite(thetas).all()
 
 

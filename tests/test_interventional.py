@@ -6,6 +6,9 @@ from dibs_tpu.inference import JointDiBS
 from dibs_tpu.metrics import threshold_metrics
 from dibs_tpu.ops.ancestral import interv_to_vectors
 from dibs_tpu.target import make_linear_gaussian_model
+import pytest
+
+pytestmark = pytest.mark.heavy  # compile-heavy; excluded from `make test-fast`
 
 
 def test_joint_dibs_with_interventional_data():

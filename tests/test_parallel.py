@@ -13,6 +13,8 @@ from dibs_tpu.inference import JointDiBS, MarginalDiBS
 from dibs_tpu.parallel import make_particle_mesh, particle_sharding, shard_state
 from dibs_tpu.target import make_linear_gaussian_model
 
+pytestmark = pytest.mark.heavy  # compile-heavy; excluded from `make test-fast`
+
 
 @pytest.fixture(scope="module")
 def target():

@@ -66,6 +66,8 @@ from dibs_tpu.models import (  # noqa: E402
 )
 from dibs_tpu.ops import acyclic, edges  # noqa: E402
 
+pytestmark = pytest.mark.heavy  # compile-heavy; excluded from `make test-fast`
+
 D, K, P = 6, 4, 5
 
 

@@ -11,6 +11,8 @@ from dibs_tpu.target import (
     make_nonlinear_gaussian_model,
 )
 
+pytestmark = pytest.mark.heavy  # compile-heavy; excluded from `make test-fast`
+
 
 @pytest.fixture(scope="module")
 def linear_target():

@@ -1,6 +1,7 @@
 """The closed-form (Gram-matmul) SVGD transport must equal the generic
 autodiff path — this validates the framework's central TPU optimization."""
 import jax.numpy as jnp
+import pytest
 from jax import random
 
 from dibs_tpu.inference.transport import (
@@ -10,6 +11,8 @@ from dibs_tpu.inference.transport import (
     marginal_transport,
 )
 from dibs_tpu.kernel import AdditiveFrobeniusSEKernel, JointAdditiveFrobeniusSEKernel
+
+pytestmark = pytest.mark.heavy  # compile-heavy; excluded from `make test-fast`
 
 
 def test_marginal_transport_fast_equals_autodiff():
