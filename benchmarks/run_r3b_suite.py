@@ -77,6 +77,26 @@ def stage_fused_nl():
     results["fused_nl_tpu_rel_err"] = err
     save()
 
+    # sharded (1-device mesh) fused-nl path: shard_map ∘ pallas plumbing +
+    # global-index seeding must reproduce the unsharded call bitwise
+    from dibs_tpu.parallel import make_particle_mesh, particle_sharding
+    from dibs_tpu.parallel.shard_ops import sharded_fused_nonlinear
+
+    mesh = make_particle_mesh(jax.devices()[:1])
+    sharding = particle_sharding(mesh)
+    kw = dict(zs=zs, thetas=thetas, x=x, interv_mask=interv,
+              key=random.PRNGKey(7), alpha=alpha, tau=tau, n_samples=m,
+              model=model)
+    ds_plain, dt_plain = fused_nonlinear_estimators(**kw)
+    ds_shard, dt_shard = sharded_fused_nonlinear(sharding=sharding, **kw)
+    assert jnp.allclose(ds_plain, ds_shard), "sharded fused-nl != unsharded"
+    for a, b in zip(jax.tree_util.tree_leaves(dt_plain),
+                    jax.tree_util.tree_leaves(dt_shard)):
+        assert jnp.allclose(a, b)
+    log("sharded fused-nl (1-device mesh) == unsharded: ok")
+    results["fused_nl_sharded_ok"] = True
+    save()
+
     # config-3 benchmark with the kernel engaged (first compile at d=20
     # may take minutes — dp=24 ragged Mosaic layout; persistent-cached)
     from benchmarks.run_benchmarks import config_3

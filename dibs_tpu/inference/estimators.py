@@ -596,7 +596,7 @@ def make_estimators(
 
     # --- fused single-pass Pallas path (DenseNonlinearGaussian) ---
     if (fused_nonlinear_model is not None
-            and cfg.grad_estimator_z == "reparam" and sharding is None):
+            and cfg.grad_estimator_z == "reparam"):
         from dibs_tpu.inference.fused_nonlinear import (
             fused_nonlinear_available,
             fused_nonlinear_estimators,
@@ -608,11 +608,25 @@ def make_estimators(
             def fused_grad_both(zs, thetas, t, key,  # noqa: F811
                                 x=None, interv_mask=None):
                 x_, interv_ = _data(x, interv_mask)
-                dscores, dtheta = fused_nonlinear_estimators(
-                    zs=zs, thetas=thetas, x=x_, interv_mask=interv_,
-                    key=key, alpha=cfg.alpha(t), tau=cfg.tau,
-                    n_samples=cfg.n_grad_mc_samples, model=model_nl,
-                )
+                if sharding is not None:
+                    from dibs_tpu.parallel.shard_ops import (
+                        divides_mesh,
+                        sharded_fused_nonlinear,
+                    )
+                if sharding is not None and divides_mesh(sharding,
+                                                         zs.shape[0]):
+                    dscores, dtheta = sharded_fused_nonlinear(
+                        zs=zs, thetas=thetas, x=x_, interv_mask=interv_,
+                        key=key, alpha=cfg.alpha(t), tau=cfg.tau,
+                        n_samples=cfg.n_grad_mc_samples, model=model_nl,
+                        sharding=sharding,
+                    )
+                else:
+                    dscores, dtheta = fused_nonlinear_estimators(
+                        zs=zs, thetas=thetas, x=x_, interv_mask=interv_,
+                        key=key, alpha=cfg.alpha(t), tau=cfg.tau,
+                        n_samples=cfg.n_grad_mc_samples, model=model_nl,
+                    )
                 # chain d/d scores -> d/dZ:  dU = dS V,  dV = dSᵀ U
                 u, v = zs[..., 0], zs[..., 1]
                 du = jnp.einsum("pij,pjk->pik", dscores, v)

@@ -44,6 +44,7 @@ __all__ = [
     "sharded_gumbel_graphs",
     "sharded_se_matrix",
     "sharded_fused_linear",
+    "sharded_fused_nonlinear",
 ]
 
 _SEED_STRIDE = 1000003  # must match ops/pallas_kernels.py grid-cell seeding
@@ -170,6 +171,38 @@ def sharded_fused_linear(*, zs, thetas, x, interv_mask, key, alpha, tau,
             zs=zs_blk, thetas=thetas_blk, x=x_, interv_mask=interv_,
             key=key_, alpha=alpha_, tau=tau, n_samples=n_samples, model=model,
             bf16=bf16, seed_offset=offset,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=sharding.mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P(), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,  # pallas_call carries no varying-axes info
+    )
+    return fn(zs, thetas, x, interv_mask, key, jnp.asarray(alpha, jnp.float32))
+
+
+def sharded_fused_nonlinear(*, zs, thetas, x, interv_mask, key, alpha, tau,
+                            n_samples, model, sharding: NamedSharding):
+    """Runs the single-pass nonlinear sample-and-score kernel per shard.
+
+    Same structure as :func:`sharded_fused_linear`: the online-softmax
+    estimator has no cross-particle coupling, so each chip processes its
+    local particle block; global-index seeding keeps the sharded run
+    bitwise equal to the unsharded one.
+    """
+    from dibs_tpu.inference.fused_nonlinear import fused_nonlinear_estimators
+
+    axis = particle_axis_name(sharding)
+    p_local = zs.shape[0] // _mesh_size(sharding, axis)
+
+    def body(zs_blk, thetas_blk, x_, interv_, key_, alpha_):
+        offset = jax.lax.axis_index(axis) * p_local
+        return fused_nonlinear_estimators(
+            zs=zs_blk, thetas=thetas_blk, x=x_, interv_mask=interv_,
+            key=key_, alpha=alpha_, tau=tau, n_samples=n_samples,
+            model=model, seed_offset=offset,
         )
 
     fn = shard_map(
