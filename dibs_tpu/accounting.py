@@ -168,41 +168,64 @@ def linear_step_cost(*, d, n_obs, p, m, kmc=32, k=None) -> StepCost:
 
 
 def nonlinear_step_cost(*, d, n_obs, p, m, hidden=(5,), kmc=32,
-                        k=None, shared_sampling=True) -> StepCost:
-    """JointDiBS + DenseNonlinearGaussian (config 3), shared-sample fused
-    estimators: one soft forward + Z-vjp, one hard forward + Θ-vjp.
+                        k=None, shared_sampling=True,
+                        fused_kernel=False) -> StepCost:
+    """JointDiBS + DenseNonlinearGaussian (config 3).
+
+    ``fused_kernel=False``: the XLA shared-sample estimators (one soft
+    forward + Z-vjp, one hard forward + Θ-vjp). ``fused_kernel=True``: the
+    single-pass online-softmax Pallas kernel
+    (:mod:`dibs_tpu.inference.fused_nonlinear`): per sample group, one
+    ``[N, dp] @ [dp, bm*dp]`` matmul per hidden unit per stream forward
+    plus one backward (``4 h1`` total), at the kernel's sublane-padded
+    ``dp``; graphs/noise/activations never reach HBM.
     """
     k = k or d
     dims = (d, *hidden, 1)
-    fwd = 0.0
-    for i in range(len(dims) - 1):
-        fwd += 2.0 * n_obs * dims[i] * dims[i + 1] * d  # per-node batched
-    fwd += d * d * hidden[0]  # first-layer weight masking
+    h1 = hidden[0]
     phases = {}
-    phases["soft_forward_plus_zvjp"] = p * m * fwd * 3.0
-    phases["hard_forward_plus_tvjp"] = p * m * fwd * 2.5
     samp = _sampling_cost(p, m if shared_sampling else 2 * m, d)
-    phases["sampling"] = samp["flops"]
     acy = _acyclicity_cost(p, kmc, d)
-    phases["acyclicity_prior"] = acy["flops"]
     theta_dim = sum(dims[i] * dims[i + 1] * d + dims[i + 1] * d
                     for i in range(len(dims) - 1))
     ker = _kernel_transport_cost(p, d, k, theta_dim=theta_dim)
-    phases["kernel_transport"] = ker["flops"]
 
-    h1 = hidden[0]
-    bytes_min = (
-        samp["bytes"]
-        + 4.0 * p * m * d * d * h1 * 2      # masked first-layer weights (both passes)
-        + 4.0 * p * m * d * h1 * n_obs * 2  # layer-1 activations (fwd+bwd residency)
-        + acy["bytes"] + ker["bytes"]
-        + 4.0 * 3 * (p * d * k * 2 + p * theta_dim)
-    )
+    if fused_kernel:
+        dp = ((max(d, 2) + 7) // 8) * 8
+        n_pad = ((max(n_obs, 8) + 7) // 8) * 8
+        # 4*h1 wide matmuls (soft/hard x fwd/bwd) over the padded shapes +
+        # masking/epilogue elementwise
+        mm = 4.0 * h1 * 2.0 * n_pad * dp * dp  # per sample
+        phases["fused_single_pass"] = p * m * (mm + 10.0 * dp * dp * h1)
+        phases["in_kernel_sampling"] = samp["flops"]
+        bytes_core = 4.0 * (
+            p * (dp * dp * (2 + h1) + 3 * h1 * dp)  # params in, grads out
+            + (p * m / 16.0) * n_pad * dp            # x tile re-reads
+        )
+        transc_core = samp["transc"] + 2.0 * p * m * dp
+    else:
+        fwd = 0.0
+        for i in range(len(dims) - 1):
+            fwd += 2.0 * n_obs * dims[i] * dims[i + 1] * d
+        fwd += d * d * hidden[0]
+        phases["soft_forward_plus_zvjp"] = p * m * fwd * 3.0
+        phases["hard_forward_plus_tvjp"] = p * m * fwd * 2.5
+        phases["sampling"] = samp["flops"]
+        bytes_core = (
+            samp["bytes"]
+            + 4.0 * p * m * d * d * h1 * 2   # masked first-layer weights
+            + 4.0 * p * m * d * h1 * n_obs * 2  # layer-1 activations
+        )
+        transc_core = samp["transc"] + 2.0 * p * m * n_obs * d
+
+    phases["acyclicity_prior"] = acy["flops"]
+    phases["kernel_transport"] = ker["flops"]
+    bytes_min = (bytes_core + acy["bytes"] + ker["bytes"]
+                 + 4.0 * 3 * (p * d * k * 2 + p * theta_dim))
     return StepCost(
         flops=sum(phases.values()),
         bytes_min=bytes_min,
-        transcendentals=samp["transc"] + acy["transc"]
-        + 2.0 * p * m * n_obs * d,
+        transcendentals=transc_core + acy["transc"],
         phases=phases,
     )
 
