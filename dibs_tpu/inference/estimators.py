@@ -74,6 +74,10 @@ class EstimatorConfig:
     grad_estimator_z: str = "reparam"  # 'score' | 'reparam'
     score_function_baseline: float = 0.0
     latent_prior_std: Optional[float] = None
+    # 'notears' (reference parity: tr[(I+G/d)^d] - d) or 'spectral'
+    # (beyond-reference: rho(G) via power iteration — O(K d^2) instead of
+    # O(d^3 log d) per MC sample; see ops/acyclic.py)
+    acyclicity: str = "notears"
 
     def alpha(self, t):
         """Linear inverse-temperature schedule of the edge-prob sigmoid."""
@@ -504,17 +508,29 @@ def make_estimators(
             zs, t
         )
 
+        if cfg.acyclicity == "spectral":
+            from dibs_tpu.ops.acyclic import acyclic_constr_spectral
+
+            def h_one(g):
+                return acyclic_constr_spectral(g)
+        elif cfg.acyclicity == "notears":
+            # penalty gradient tolerates bf16 multiplies in the power chain
+            # (the exact-h DAG checks in metrics stay at HIGHEST)
+            def h_one(g):
+                return acyclic_constr(g, d, jax.lax.Precision.DEFAULT)
+        else:
+            raise ValueError(
+                f"acyclicity must be 'notears' or 'spectral'; got "
+                f"{cfg.acyclicity!r}"
+            )
+
         def batched_h(zs_):
             scores = edge_scores(zs_)
             gs = _constrain_mc(sample_soft_graphs(
                 scores, keys[0], alpha, cfg.tau, cfg.n_acyclicity_mc_samples,
                 use_pallas=use_pallas, sharding=sharding,
             ))
-            # penalty gradient tolerates bf16 multiplies in the power chain
-            # (the exact-h DAG checks in metrics stay at HIGHEST)
-            return vmap(
-                vmap(lambda g: acyclic_constr(g, d, jax.lax.Precision.DEFAULT))
-            )(gs)  # [P, K]
+            return vmap(vmap(h_one))(gs)  # [P, K]
 
         h_vals, vjp_fn = jax.vjp(batched_h, zs)
         (grad_constraint,) = vjp_fn(

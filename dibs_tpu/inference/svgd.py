@@ -90,6 +90,7 @@ class DiBS:
                  grad_estimator_z="reparam",
                  score_function_baseline=0.0,
                  latent_prior_std=None,
+                 acyclicity="notears",
                  verbose=False,
                  fused_linear_model=None,
                  use_pallas_samplers=None,
@@ -112,6 +113,7 @@ class DiBS:
             grad_estimator_z=grad_estimator_z,
             score_function_baseline=score_function_baseline,
             latent_prior_std=latent_prior_std,
+            acyclicity=acyclicity,
         )
         self.latent_prior_std = latent_prior_std
         self.verbose = verbose
@@ -282,6 +284,7 @@ class MarginalDiBS(DiBS):
                  grad_estimator_z="score",
                  score_function_baseline=0.0,
                  latent_prior_std=None,
+                 acyclicity="notears",
                  sharding=None,
                  verbose=False):
         if kernel_param is None:
@@ -304,6 +307,7 @@ class MarginalDiBS(DiBS):
             grad_estimator_z=grad_estimator_z,
             score_function_baseline=score_function_baseline,
             latent_prior_std=latent_prior_std,
+            acyclicity=acyclicity,
             verbose=verbose,
             sharding=sharding,
             # per-node likelihood decomposition for the Rao-Blackwellized
@@ -521,6 +525,7 @@ class JointDiBS(DiBS):
                  grad_estimator_z="reparam",
                  score_function_baseline=0.0,
                  latent_prior_std=None,
+                 acyclicity="notears",
                  sharding=None,
                  verbose=False,
                  fused_sample_sharing="hard"):
@@ -544,6 +549,7 @@ class JointDiBS(DiBS):
             grad_estimator_z=grad_estimator_z,
             score_function_baseline=score_function_baseline,
             latent_prior_std=latent_prior_std,
+            acyclicity=acyclicity,
             verbose=verbose,
             # model-specialized fused Pallas path (engages on TPU with the
             # reparam estimator; runs per mesh shard when sharded)

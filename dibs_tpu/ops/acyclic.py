@@ -36,7 +36,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["acyclic_constr", "elwise_acyclic_constr", "matrix_power"]
+__all__ = ["acyclic_constr", "acyclic_constr_spectral",
+           "elwise_acyclic_constr", "matrix_power"]
 
 
 def matrix_power(m: jnp.ndarray, n: int,
@@ -110,3 +111,70 @@ acyclic_constr.defvjp(_acyclic_fwd, _acyclic_bwd)
 def elwise_acyclic_constr(gs: jnp.ndarray, n_vars: int) -> jnp.ndarray:
     """Batched ``h(G)`` over a leading batch dimension: ``[n, d, d] -> [n]``."""
     return jax.vmap(lambda g: acyclic_constr(g, n_vars), 0, 0)(gs)
+
+
+# --- spectral-radius penalty (BEYOND-REFERENCE option) ---
+#
+# For an entrywise-nonnegative (soft) adjacency, the spectral radius
+# rho(G) = lambda_max(G) is real (Perron-Frobenius), and rho(G) == 0 iff G
+# is nilpotent iff the graph is acyclic — the same zero set as the NOTEARS
+# trace penalty, at O(K d^2) matvec cost per evaluation instead of
+# O(d^3 log d) matmul cost (Lee et al. 2019, "Scaling structural learning
+# with NO-BEARS"; the reference implements only the trace form). At the
+# d=128 scaling config the trace penalty is 66% of all step FLOPs
+# (benchmarks/RESULTS_r3.json phase table), which is what this option
+# removes. Default stays "notears" — reference parity.
+
+_SPECTRAL_ITERS = 24
+_SPECTRAL_EPS = 1e-9
+
+
+def _power_iteration(g, n_iter, precision):
+    d = g.shape[-1]
+    v = jnp.full((d,), 1.0 / jnp.sqrt(d), dtype=g.dtype)   # right
+    u = jnp.full((d,), 1.0 / jnp.sqrt(d), dtype=g.dtype)   # left
+
+    def body(_, carry):
+        u_, v_ = carry
+        v_new = jnp.matmul(g, v_, precision=precision)
+        v_new = v_new / (jnp.linalg.norm(v_new) + _SPECTRAL_EPS)
+        u_new = jnp.matmul(u_, g, precision=precision)
+        u_new = u_new / (jnp.linalg.norm(u_new) + _SPECTRAL_EPS)
+        return u_new, v_new
+
+    u, v = jax.lax.fori_loop(0, n_iter, body, (u, v))
+    lam = jnp.dot(u, jnp.matmul(g, v, precision=precision)) / (
+        jnp.dot(u, v) + _SPECTRAL_EPS
+    )
+    return lam, u, v
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def acyclic_constr_spectral(g: jnp.ndarray, n_iter: int = _SPECTRAL_ITERS,
+                            precision=jax.lax.Precision.HIGHEST):
+    """Spectral acyclicity penalty ``h(G) ~= rho(G)`` via power iteration.
+
+    Valid for entrywise-nonnegative ``g`` (all soft/hard adjacency samples
+    in this engine). Zero iff acyclic; gradient is the Perron outer
+    product ``u v^T / (u.v)`` (eigvector perturbation closed form; the
+    iterates are treated as constants — standard eigenvalue
+    differentiation). For (near-)nilpotent inputs the quotient guards keep
+    everything finite and the gradient fades to ~0, which is exactly the
+    annealed-penalty behavior the SVGD prior needs.
+    """
+    lam, _, _ = _power_iteration(g, n_iter, precision)
+    return lam
+
+
+def _spec_fwd(g, n_iter, precision):
+    lam, u, v = _power_iteration(g, n_iter, precision)
+    return lam, (u, v)
+
+
+def _spec_bwd(n_iter, precision, res, h_bar):
+    u, v = res
+    denom = jnp.dot(u, v) + _SPECTRAL_EPS
+    return (h_bar * jnp.outer(u, v) / denom,)
+
+
+acyclic_constr_spectral.defvjp(_spec_fwd, _spec_bwd)

@@ -61,3 +61,71 @@ def test_elwise_batched():
     assert hs.shape == (4,)
     for i in range(4):
         assert jnp.allclose(hs[i], acyclic_constr(gs[i], 5), atol=1e-5)
+
+
+def test_spectral_penalty_zero_iff_dag():
+    """rho(G) == 0 exactly for nilpotent (acyclic) binary adjacencies and
+    > 0 for cyclic ones, matching the NOTEARS penalty's zero set."""
+    import numpy as onp
+    from jax import random
+
+    from dibs_tpu.ops.acyclic import acyclic_constr, acyclic_constr_spectral
+
+    key = random.PRNGKey(0)
+    d = 12
+    for trial in range(6):
+        key, k1, k2 = random.split(key, 3)
+        # random DAG: strictly lower-triangular under a random permutation
+        tril = (random.uniform(k1, (d, d)) < 0.3).astype(jnp.float32)
+        tril = jnp.tril(tril, k=-1)
+        perm = random.permutation(k2, d)
+        p_mat = jnp.eye(d)[perm]
+        dag = p_mat.T @ tril @ p_mat
+        h_spec = float(acyclic_constr_spectral(dag))
+        assert abs(h_spec) < 1e-5, h_spec
+
+        # add a 2-cycle -> both penalties positive
+        i, j = int(onp.argmax(onp.asarray(dag).sum(1) > 0)), None
+        src = onp.asarray(dag)
+        nz = onp.argwhere(src > 0)
+        if len(nz) == 0:
+            continue
+        a, b = nz[0]
+        cyc = dag.at[b, a].set(1.0)
+        assert float(acyclic_constr_spectral(cyc)) > 1e-3
+        assert float(acyclic_constr(cyc, d)) > 1e-6
+
+
+def test_spectral_gradient_matches_finite_differences():
+    from jax import random
+
+    from dibs_tpu.ops.acyclic import acyclic_constr_spectral
+
+    key = random.PRNGKey(3)
+    d = 8
+    g = random.uniform(key, (d, d), minval=0.05, maxval=1.0) * (
+        1.0 - jnp.eye(d))
+    grad = jax.grad(lambda m: acyclic_constr_spectral(m))(g)
+    # directional finite difference along a random direction
+    v = random.normal(random.PRNGKey(4), (d, d))
+    eps = 1e-3
+    fd = (acyclic_constr_spectral(g + eps * v)
+          - acyclic_constr_spectral(g - eps * v)) / (2 * eps)
+    got = jnp.sum(grad * v)
+    assert jnp.allclose(got, fd, rtol=2e-2, atol=1e-4), (float(got), float(fd))
+
+
+def test_engine_runs_with_spectral_acyclicity():
+    from jax import random
+
+    from dibs_tpu.inference import JointDiBS
+    from dibs_tpu.target import make_linear_gaussian_model
+
+    data, gm, lm = make_linear_gaussian_model(
+        key=random.PRNGKey(0), n_vars=6, graph_prior_str="er",
+        n_observations=20, n_ho_observations=5)
+    dibs = JointDiBS(x=data.x, graph_model=gm, likelihood_model=lm,
+                     acyclicity="spectral", n_grad_mc_samples=4,
+                     n_acyclicity_mc_samples=2)
+    gs, thetas = dibs.sample(key=random.PRNGKey(1), n_particles=3, steps=8)
+    assert jnp.isfinite(thetas).all()
