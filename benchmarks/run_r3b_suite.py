@@ -163,6 +163,30 @@ def stage_scaling():
     save()
 
 
+def stage_spectral_cfg5():
+    """Config-5 with acyclicity='spectral': the NOTEARS power chain is 66%
+    of the config's FLOPs; measure the steps/s delta of the O(K d^2)
+    spectral-radius penalty (beyond-reference option)."""
+    from benchmarks.run_benchmarks import time_steps_per_sec
+    from dibs_tpu.inference import JointDiBS
+    from dibs_tpu.target import make_linear_gaussian_model
+
+    key = random.PRNGKey(123)
+    key, subk = random.split(key)
+    data, gm, lm = make_linear_gaussian_model(
+        key=subk, n_vars=128, graph_prior_str="sf")
+    dibs = JointDiBS(
+        x=data.x, graph_model=gm, likelihood_model=lm,
+        n_grad_mc_samples=32, n_acyclicity_mc_samples=8,
+        acyclicity="spectral",
+    )
+    sps, compile_s = time_steps_per_sec(dibs, 1000, chunk=5, repeats=2)
+    log(f"config_5 spectral: {sps:.2f} steps/s (compile {compile_s:.1f}s)")
+    results["config_5_spectral"] = {"steps_per_sec": sps,
+                                    "compile_s": compile_s}
+    save()
+
+
 def stage_quality_gate():
     proc = subprocess.run(
         [sys.executable, "scripts/quality_gate.py"],
@@ -181,7 +205,9 @@ def main():
     stage_profiles()
     log("=== stage 3: scaling ===")
     stage_scaling()
-    log("=== stage 4: quality gate ===")
+    log("=== stage 4: spectral acyclicity at config 5 ===")
+    stage_spectral_cfg5()
+    log("=== stage 5: quality gate ===")
     stage_quality_gate()
     log(f"DONE -> {OUT}")
 
