@@ -186,6 +186,22 @@ def stage_spectral_cfg5():
                                     "compile_s": compile_s}
     save()
 
+    # quality check at the reduced protocol (same thresholds as the gate)
+    from dibs_tpu.metrics import expected_shd, threshold_metrics
+
+    key, subk = random.split(random.PRNGKey(123))
+    data12, gm12, lm12 = make_linear_gaussian_model(
+        key=subk, n_vars=12, graph_prior_str="sf")
+    d12 = JointDiBS(x=data12.x, graph_model=gm12, likelihood_model=lm12,
+                    acyclicity="spectral")
+    gs, thetas = d12.sample(key=key, n_particles=12, steps=800)
+    dist = d12.get_mixture(gs, thetas)
+    auroc = float(threshold_metrics(dist=dist, g=data12.g)["roc_auc"])
+    eshd = float(expected_shd(dist=dist, g=data12.g))
+    log(f"spectral quality (d=12/800): AUROC {auroc:.3f} E-SHD {eshd:.1f}")
+    results["spectral_quality_d12"] = {"auroc": auroc, "eshd": eshd}
+    save()
+
 
 def stage_quality_gate():
     proc = subprocess.run(
