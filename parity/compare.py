@@ -149,6 +149,34 @@ def main():
         lines += [f"- {n}" for n in all_notes]
         lines.append("")
 
+    # score_rb study (config 1): quality + wall time vs the default 'score'
+    rb_files = sorted(glob.glob(os.path.join(RESULTS,
+                                             "ours_cfg1_seed*_rb3.json")))
+    if rb_files:
+        lines += [
+            "## score_rb study — config 1 with the Rao-Blackwellized "
+            "estimator (beyond-reference)",
+            "",
+            "Same data/seeds/protocol as config 1 above; "
+            "`grad_estimator_z='score_rb'` (per-node softmax weights).",
+            "",
+            "| seed | DiBS E-SHD | DiBS AUROC | DiBS+ E-SHD | DiBS+ AUROC |"
+            " neg MLL (DiBS+) | wall s |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for path in rb_files:
+            with open(path) as f:
+                r = json.load(f)
+            lines.append(
+                f"| {r['seed']} | {r['empirical']['eshd']:.1f} "
+                f"| {r['empirical']['auroc']:.3f} "
+                f"| {r['mixture']['eshd']:.1f} "
+                f"| {r['mixture']['auroc']:.3f} "
+                f"| {r['mixture'].get('neg_mll', float('nan')):.0f} "
+                f"| {r.get('wall_s', 0):.0f} |"
+            )
+        lines.append("")
+
     lines += ["## Throughput (reference on CPU — the BASELINE.md baseline)",
               "",
               "| config | reference CPU steps/s |",
