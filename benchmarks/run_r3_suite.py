@@ -106,12 +106,22 @@ def main():
             json.dump(results, f, indent=2)
 
     log("=== stage 7: rooflines ===")
+    # kmc MUST match each config's actual n_acyclicity_mc_samples (config 5
+    # runs 8, not the engine default 32 — a round-3 review caught the
+    # mismatch inflating its modeled FLOPs 2x); config 3's cost model must
+    # match the code path actually measured (fused kernel on TPU).
+    from dibs_tpu.inference.fused_nonlinear import fused_nonlinear_available
+    from dibs_tpu.models import DenseNonlinearGaussian
+
+    nl_fused = fused_nonlinear_available(
+        DenseNonlinearGaussian(n_vars=20, hidden_layers=(5,)))
     cost_map = {
-        "config_1": bge_step_cost(d=20, n_obs=100, p=30, m=128),
-        "config_2": linear_step_cost(d=20, n_obs=100, p=30, m=128),
-        "config_3": nonlinear_step_cost(d=20, n_obs=100, p=30, m=128),
-        "config_4": linear_step_cost(d=30, n_obs=600, p=20, m=128),
-        "config_5": linear_step_cost(d=128, n_obs=100, p=1000, m=32),
+        "config_1": bge_step_cost(d=20, n_obs=100, p=30, m=128, kmc=32),
+        "config_2": linear_step_cost(d=20, n_obs=100, p=30, m=128, kmc=32),
+        "config_3": nonlinear_step_cost(d=20, n_obs=100, p=30, m=128,
+                                        kmc=32, fused_kernel=nl_fused),
+        "config_4": linear_step_cost(d=30, n_obs=600, p=20, m=128, kmc=32),
+        "config_5": linear_step_cost(d=128, n_obs=100, p=1000, m=32, kmc=8),
     }
     for name, cost in cost_map.items():
         sps = results[name]["steps_per_sec"]

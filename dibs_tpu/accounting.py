@@ -250,6 +250,10 @@ def roofline(flops, bytes_, transc, seconds, chip="tpu_v5e",
     transc_frac = transc_rate / 960.0 if chip == "tpu_v5e" else float("nan")
     fracs = {"compute": mfu, "hbm": mem_frac, "transcendental": transc_frac}
     bound = max(fracs, key=lambda kk: fracs[kk] if fracs[kk] == fracs[kk] else -1)
+    if fracs[bound] == fracs[bound] and fracs[bound] < 0.15:
+        # no classical ceiling explains the time: dominated by serialized
+        # vector-op chains / kernel-launch & dispatch latency
+        bound = "none (op/latency-bound)"
     return {
         "seconds_per_step": seconds,
         "tflops_achieved": round(tflops, 4),

@@ -575,16 +575,18 @@ def make_estimators(
             # soft sample IS the reference's Bernoulli sample) — one
             # sampler pass serves both estimators
             def f_z(zs_):
-                return _batched_logprobs(sample_soft(zs_), thetas,
-                                         x_, interv_, key)
+                gs = sample_soft(zs_)
+                return _batched_logprobs(gs, thetas, x_, interv_, key), gs
 
-            logp_soft, vjp_z = jax.vjp(f_z, zs)
+            # has_aux returns the soft batch from the SAME trace — one
+            # sampler pass, no reliance on XLA CSE across the vjp boundary
+            logp_soft, vjp_z, soft_aux = jax.vjp(f_z, zs, has_aux=True)
             w_soft = jnp.exp(
                 logp_soft - logsumexp(logp_soft, axis=1, keepdims=True)
             )
             (dz,) = vjp_z(w_soft)
 
-            soft_ng = jax.lax.stop_gradient(sample_soft(zs))
+            soft_ng = jax.lax.stop_gradient(soft_aux)
             hard = zero_diagonal((soft_ng > 0.5).astype(zs.dtype))
 
             def f_theta(th_):
@@ -618,7 +620,8 @@ def make_estimators(
             fused_nonlinear_estimators,
         )
 
-        if fused_nonlinear_available(fused_nonlinear_model):
+        if fused_nonlinear_available(fused_nonlinear_model,
+                                     n_obs=x.shape[0]):
             model_nl = fused_nonlinear_model
 
             def fused_grad_both(zs, thetas, t, key,  # noqa: F811

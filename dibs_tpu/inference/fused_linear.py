@@ -89,7 +89,7 @@ def _notice_compile(d: int, n_samples: int) -> None:
         return
     _NOTICED.add(keyt)
     print(
-        f"dibs-tpu: tracing fused linear kernels for d={d}, "
+        f"dibs-tpu: tracing fused Pallas kernels for d={d}, "
         f"M={n_samples} — a first-ever compile at this shape takes minutes "
         "(cached persistently afterwards; pre-warm via dibs_tpu.warmup)",
         file=sys.stderr, flush=True,

@@ -81,11 +81,18 @@ _ACTS = {
 }
 
 
-def fused_nonlinear_available(model) -> bool:
-    """True when the fused kernel supports this model on this backend."""
+def fused_nonlinear_available(model, n_obs: int = 0) -> bool:
+    """True when the fused kernel supports this model on this backend.
+
+    ``n_obs`` (when known) enters a VMEM budget check: the kernel keeps
+    ~``(4 h1 + 8)`` live ``[N_pad, bm*dp]`` f32 buffers per group (both
+    streams' pre-activations/activations + data tiles); past ~12 MB the
+    Mosaic compile would fail opaquely, so the gate declines and the
+    engine falls back to the XLA estimators.
+    """
     from dibs_tpu.ops.pallas_kernels import pallas_enabled
 
-    return (
+    ok = (
         _PALLAS and pallas_enabled()
         and len(model.hidden_layers) == 1
         and model.hidden_layers[0] <= _MAX_H
@@ -93,6 +100,13 @@ def fused_nonlinear_available(model) -> bool:
         and model.activation in _ACTS
         and model.bias
     )
+    if ok and n_obs:
+        dp, bm, _ = _pad_plan_nl(model.n_vars, 1)
+        n_pad = _round_up(max(n_obs, _SUB), _SUB)
+        h1 = model.hidden_layers[0]
+        live = (4 * h1 + 8) * n_pad * bm * dp * 4
+        ok = live <= 12 * 1024 * 1024
+    return ok
 
 
 def _round_up(v, m):
@@ -406,8 +420,10 @@ def fused_nonlinear_estimators(
     ``debug_noise``: optional ``[P, 2, m_total*dp, bm*dp]`` uniforms for
     deterministic tests (replaces the hardware PRNG stream).
     """
+    from dibs_tpu.inference.fused_linear import _notice_compile
     from dibs_tpu.ops.edges import edge_scores
 
+    _notice_compile(model.n_vars, n_samples)  # silence looks like a hang
     p, d, _, _ = zs.shape
     h1 = model.hidden_layers[0]
     dp, bm, m_total = _pad_plan_nl(d, n_samples)

@@ -121,7 +121,7 @@ def elwise_acyclic_constr(gs: jnp.ndarray, n_vars: int) -> jnp.ndarray:
 # trace penalty, at O(K d^2) matvec cost per evaluation instead of
 # O(d^3 log d) matmul cost (Lee et al. 2019, "Scaling structural learning
 # with NO-BEARS"; the reference implements only the trace form). At the
-# d=128 scaling config the trace penalty is 66% of all step FLOPs
+# d=128 scaling config the trace penalty is ~33% of all step FLOPs
 # (benchmarks/RESULTS_r3.json phase table), which is what this option
 # removes. Default stays "notears" — reference parity.
 

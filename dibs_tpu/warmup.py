@@ -76,7 +76,26 @@ def warmup(d: int | Iterable[int], *, n_obs: int = 100,
             state = dibs.init_state(key=random.PRNGKey(0),
                                     n_particles=n_particles)
             step = dibs._make_step(dibs._resolve_latent_std(state.z.shape[2]))
-            jax.jit(step).lower(state, dibs.x, dibs.interv_mask).compile()
+
+            # compile the EXACT module the engine executes — the chunked
+            # fori_loop with a donated carry (svgd._run_chunks) — so the
+            # persistent-cache entry matches a later dibs.sample() run
+            # (a bare jit(step) is a different module and would not)
+            import functools
+
+            from dibs_tpu.inference.svgd import _MAX_CHUNK_STEPS
+            from jax import lax
+
+            @functools.partial(jax.jit, static_argnames="n_steps",
+                               donate_argnums=0)
+            def run_chunk(st, x, interv, n_steps):
+                return lax.fori_loop(
+                    0, n_steps, lambda _, s: step(s, x, interv), st
+                )
+
+            run_chunk.lower(
+                state, dibs.x, dibs.interv_mask, n_steps=_MAX_CHUNK_STEPS
+            ).compile()
             if verbose:
                 print(f"[dibs-tpu warmup] {model} d={dd} ready in "
                       f"{time.perf_counter()-t0:.1f}s",
