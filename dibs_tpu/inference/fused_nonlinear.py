@@ -325,16 +325,25 @@ def _make_nl_kernel(*, n_samples: int, m_total: int, bm: int, h1: int,
             return new_m_s, z_soft, new_m_h, z_hard
 
         init = (neg_big, jnp.float32(0.0), neg_big, jnp.float32(0.0))
-        m_s, z_s, m_h, z_h = jax.lax.fori_loop(0, n_groups, body, init)
+        if debug_noise:
+            # static Python loop: grp stays a Python int, so the debug
+            # noise reads are static slices (tests only; n_groups is tiny)
+            carry = init
+            for grp in range(n_groups):
+                carry = body(grp, carry)
+            m_s, z_s, m_h, z_h = carry
+        else:
+            m_s, z_s, m_h, z_h = jax.lax.fori_loop(0, n_groups, body, init)
 
         dscores_ref[0] = dscores_ref[0] / z_s
         dw1_ref[0] = dw1_ref[0] / z_h
         db1_ref[0] = db1_ref[0] / z_h
         dw2_ref[0] = dw2_ref[0] / z_h
         db2_ref[0] = db2_ref[0] / z_h
-        lse_ref[0] = jnp.stack(
-            [m_s + jnp.log(z_s), m_h + jnp.log(z_h)]
-        ).reshape(2, 1)
+        lse_ref[0] = jnp.concatenate(
+            [jnp.full((1, 1), m_s + jnp.log(z_s), jnp.float32),
+             jnp.full((1, 1), m_h + jnp.log(z_h), jnp.float32)], axis=0,
+        )
 
     return kernel
 
