@@ -227,3 +227,49 @@ def test_ring_transport_matches_plain(target):
       jax.device_put(theta, sharding), jax.device_put(dtheta, sharding))
     assert jnp.allclose(out_z, ref_z, atol=1e-5)
     assert jnp.allclose(out_t, ref_t, atol=1e-5)
+
+
+def test_sharded_fused_nonlinear_seed_offsets():
+    """sharded_fused_nonlinear computes per-shard global seed offsets.
+
+    Like test_sharded_gumbel_seed_offsets: the Pallas kernel has no CPU
+    lowering, so the kernel entry is stubbed with a function that leaks its
+    ``seed_offset`` into both outputs, checking the shard_map plumbing
+    (axis extent, offset arithmetic, output specs)."""
+    from unittest import mock
+
+    from dibs_tpu.models import DenseNonlinearGaussian
+    from dibs_tpu.parallel import shard_ops
+
+    p, d, h1, n_obs = 16, 6, 3, 12
+    model = DenseNonlinearGaussian(n_vars=d, hidden_layers=(h1,))
+    key = random.PRNGKey(3)
+    thetas = model.sample_parameters(key=key, n_vars=d, n_particles=p)
+    zs = random.normal(random.PRNGKey(1), (p, d, d, 2))
+    x = random.normal(random.PRNGKey(2), (n_obs, d))
+    interv = jnp.zeros_like(x, dtype=jnp.int32)
+
+    def fake_estimators(*, zs, thetas, x, interv_mask, key, alpha, tau,
+                        n_samples, model, seed_offset=0, **kw):
+        off = jnp.float32(seed_offset)
+        ds = jnp.broadcast_to(off, zs.shape[:1] + zs.shape[1:3])
+        dt = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a) + off, thetas)
+        return ds, dt
+
+    sharding = particle_sharding(make_particle_mesh())
+    with mock.patch(
+        "dibs_tpu.inference.fused_nonlinear.fused_nonlinear_estimators",
+        fake_estimators,
+    ):
+        ds, dt = shard_ops.sharded_fused_nonlinear(
+            zs=jax.device_put(zs, sharding),
+            thetas=jax.device_put(thetas, sharding),
+            x=x, interv_mask=interv, key=key, alpha=1.0, tau=1.0,
+            n_samples=4, model=model, sharding=sharding,
+        )
+    # shard s holds particles [2s, 2s+2) with seed offset 2s
+    expected = (jnp.arange(p) // 2 * 2).astype(jnp.float32)
+    assert jnp.array_equal(ds[:, 0, 0], expected), ds[:, 0, 0]
+    for leaf in jax.tree_util.tree_leaves(dt):
+        assert jnp.array_equal(
+            leaf.reshape(p, -1)[:, 0], expected)
