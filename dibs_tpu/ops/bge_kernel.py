@@ -88,15 +88,14 @@ def _bge_pair_kernel(r_ref, e_ref, gt_ref, out_pa_ref, out_full_ref, a_ref):
     m = gt_ref[0]  # [d, TILE] parent masks (m[j] = 0: diagonals are zeroed)
 
     # bordered row/column of node j: v = (R e_j) masked to parents,
-    # s = e_j^T R e_j — tiny MXU matvecs, no dynamic lane slicing
-    v_col = jax.lax.dot_general(
-        r, e, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=f32,
-    )  # [d, 1]
-    s0 = jax.lax.dot_general(
-        e, v_col, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32,
-    )  # [1, 1]
+    # s = e_j^T R e_j. One-hot selections via exact VPU multiply+lane-reduce
+    # — NOT dot_general: the MXU truncates f32 operands to bf16 at default
+    # precision, and the border feeds a catastrophically-cancelling Schur
+    # chain (s_final can be ~1e-8 of s0 on collinear data), so bf16-level
+    # input error made logdet(Pa u j) NaN on ill-conditioned real datasets
+    # while the elimination (exact VMEM reads) stayed correct.
+    v_col = jnp.sum(r * e, axis=1, keepdims=True)  # [d, 1] = R[:, j]
+    s0 = jnp.sum(v_col * jnp.transpose(e), axis=0, keepdims=True)  # R[j, j]
     v = v_col * m  # [d, TILE]
     s = jnp.broadcast_to(s0, (1, tile))
 

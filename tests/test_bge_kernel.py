@@ -80,3 +80,51 @@ def test_bge_batched_node_scores_match_single_graph_path():
     assert jnp.allclose(batched, single, rtol=1e-4, atol=1e-4), (
         jnp.abs(batched - single).max()
     )
+
+
+def test_bge_pairs_ill_conditioned_collinear_data():
+    """Regression: bf16 MXU truncation of the bordered row/column.
+
+    The kernel once extracted the border (R[:, j], R[j, j]) with MXU
+    ``dot_general`` matvecs, which truncate f32 operands to bf16 at default
+    precision.  The Schur chain cancels catastrophically on collinear data
+    (large R entries, tiny complements), so bf16-level input error drove
+    ``logdet R[Pa u j]`` to NaN on real datasets (parity cfg1 seeds 7-8 and
+    the d=12 quality gate collapsed to empty graphs: AUROC 0.500).  The
+    border is now an exact VPU multiply+lane-reduce.  Interpret mode cannot
+    reproduce the Mosaic bf16 truncation, but this pins the scenario — on
+    TPU (e.g. ``make check``/benchmarks) the same case runs the real
+    kernel.
+    """
+    d, b, n = 20, 64, 100
+    key = random.PRNGKey(7)
+    k1, k2, k3 = random.split(key, 3)
+    # deep-chain SEM analog: x columns are near-collinear with large scale,
+    # like the d=20 ER graphs with 40+ edges that triggered the collapse
+    base = random.normal(k1, (n, 4))
+    mix = random.normal(k2, (4, d))
+    x = base @ mix * 8.0 + 0.5 * random.normal(k3, (n, d))
+    model = BGe(n_vars=d)
+    r_mats, _ = model._posterior_r_mats(x, jnp.zeros_like(x, dtype=jnp.int32))
+    assert float(jnp.abs(r_mats).max()) > 1e4  # the regime that broke
+
+    gs = (random.uniform(random.PRNGKey(1), (b, d, d)) < 0.5).astype(
+        jnp.float32) * (1.0 - jnp.eye(d))
+    interpret = jax.default_backend() != "tpu"
+    pa, full = bge_logdet_pairs(r_mats, gs, interpret=interpret)
+    assert not bool(jnp.isnan(pa).any())
+    assert not bool(jnp.isnan(full).any())
+
+    eye = jnp.eye(d)
+    ref_pa, ref_full = vmap(
+        lambda g: vmap(
+            lambda j: masked_logdet_pd_pair(r_mats[j], g[:, j], eye[:, j])
+        )(jnp.arange(d)),
+        0,
+    )(gs)
+    assert jnp.allclose(pa, ref_pa, rtol=1e-4, atol=2e-2), (
+        jnp.abs(pa - ref_pa).max()
+    )
+    assert jnp.allclose(full, ref_full, rtol=1e-4, atol=2e-2), (
+        jnp.abs(full - ref_full).max()
+    )
