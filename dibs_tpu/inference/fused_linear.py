@@ -62,6 +62,43 @@ _SUB = 8
 # d so a handful of them plus the [N_pad, bm*d_pad] data tiles fit in ~16 MB
 _MAX_D = 384
 
+# Mosaic's default-precision dot truncates f32 inputs to bf16 on the MXU
+# (see ops/bge_kernel.py for the first casualty). Log-likelihoods flow
+# through the scoring matmul and the indicator-matmul reductions here, so
+# on unstandardized (large-scale) data the per-sample ll differences drown
+# in truncation noise and the softmax weights collapse (measured: AUROC
+# 0.958 -> 0.500 at 10x data scale). Two precision classes:
+#   _PREC_LL   — the scoring chain (means matmul, ll indicator-reduces,
+#                pass-1 accumulators): multi-pass f32; errors here shift
+#                log-likelihood *differences* and corrupt softmax weights.
+#   _PREC_GRAD — gradient dots (x^T resid, s_mat accumulation, weight
+#                broadcasts): already-weighted sums with no cancellation
+#                amplification; a relative 2^-9 rounding acts as extra MC
+#                noise, so fewer MXU passes are safe.
+_PREC_LL = jax.lax.Precision.HIGHEST
+_PREC_GRAD = jax.lax.Precision.DEFAULT
+# The big forward matmuls use a manual 3-pass bf16 split instead of
+# HIGHEST: Mosaic lowers HIGHEST to 6 MXU passes (and rejects HIGH), while
+# hi*hi + lo*hi + hi*lo reaches ~2^-17 relative error — far below the
+# softmax's resolution needs at any data scale — at half the passes.
+_LL_SPLIT3 = True
+
+
+def _ll_dot(a, b, dims):
+    """Scoring-chain matmul at ~f32 accuracy (see _LL_SPLIT3)."""
+    if not _LL_SPLIT3:
+        return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+
+    def dot(x, y):
+        return jax.lax.dot_general(x, y, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
+
+    return dot(a_hi, b_hi) + (dot(a - a_hi, b_hi) + dot(a_hi, b - b_hi))
+
 
 def fused_linear_available(n_vars: int) -> bool:
     from dibs_tpu.ops.pallas_kernels import pallas_enabled
@@ -123,7 +160,13 @@ def _gen_uniform(shape):
     """Uniform(0,1) from the hardware PRNG (see pallas_kernels)."""
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     top = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-    return top.astype(jnp.float32) * (1.0 / (1 << 24)) + 0.5 / (1 << 24)
+    u = top.astype(jnp.float32) * (1.0 / (1 << 24)) + 0.5 / (1 << 24)
+    # round-to-even lands exactly on 1.0 when top == 2^24-1 (p = 2^-24 per
+    # draw); the fast-soft formula (1/u - 1) * exp(-alpha*s) then produces
+    # 0 * inf = NaN once exp overflows (late-annealing negative scores,
+    # ~1e7 draws/step at d=20 -- a near-certain mid-run collapse). Clamp to
+    # the largest f32 below 1.
+    return jnp.minimum(u, jnp.float32(1.0 - 2.0**-24))
 
 
 def _gen_noise(shape):
@@ -133,7 +176,8 @@ def _gen_noise(shape):
 
 
 def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
-                 bf16: bool = False, block_m: int = 8):
+                 bf16: bool = False, block_m: int = 8,
+                 debug_noise: bool = False):
     """Builds the pass-1 (scoring) or pass-2 (gradient) kernel body.
 
     Grid: ``(P,)`` — one cell per particle. Samples are processed
@@ -150,13 +194,23 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
     n_groups = n_samples // bm
 
     def kernel(*refs):
+        noise_ref = None
         if pass2:
-            (seed_ref, alpha_ref, scores_ref, theta_ref, logpdf_ref,
-             dprior_ref, x_ref, w_ref, wsoft_ref, whard_ref,
-             dscores_ref, dtheta_ref) = refs
+            if debug_noise:
+                (seed_ref, alpha_ref, scores_ref, theta_ref, logpdf_ref,
+                 dprior_ref, x_ref, w_ref, wsoft_ref, whard_ref, noise_ref,
+                 dscores_ref, dtheta_ref) = refs
+            else:
+                (seed_ref, alpha_ref, scores_ref, theta_ref, logpdf_ref,
+                 dprior_ref, x_ref, w_ref, wsoft_ref, whard_ref,
+                 dscores_ref, dtheta_ref) = refs
         else:
-            (seed_ref, alpha_ref, scores_ref, theta_ref, logpdf_ref,
-             x_ref, w_ref, lsoft_ref, lhard_ref) = refs
+            if debug_noise:
+                (seed_ref, alpha_ref, scores_ref, theta_ref, logpdf_ref,
+                 x_ref, w_ref, noise_ref, lsoft_ref, lhard_ref) = refs
+            else:
+                (seed_ref, alpha_ref, scores_ref, theta_ref, logpdf_ref,
+                 x_ref, w_ref, lsoft_ref, lhard_ref) = refs
 
         p_idx = pl.program_id(0)
         alpha = alpha_ref[0, 0]
@@ -218,7 +272,9 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
 
         # seed once per particle; both passes draw the same bit stream in the
         # same order, so the sample replay stays exact
-        pltpu.prng_seed(seed_ref[0, 0] + p_idx * jnp.int32(1000003))
+        if not debug_noise:
+            # (skipped in debug mode: prng_seed has no CPU interpret rule)
+            pltpu.prng_seed(seed_ref[0, 0] + p_idx * jnp.int32(1000003))
 
         def cast(a):
             return a.astype(jnp.bfloat16) if bf16 else a
@@ -226,8 +282,8 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
         def group_score(g_t):
             """g_t: [d, wd] wide graphs -> (ll [1, bm], resid [Np, wd])."""
             w_wide = g_t * theta_t
-            means = jnp.dot(cast(x), cast(w_wide),
-                            preferred_element_type=jnp.float32)  # [Np, wd]
+            means = _ll_dot(cast(x), cast(w_wide),
+                             (((1,), (0,)), ((), ())))  # [Np, wd]
             resid = (x_t - means) * w_t
             per_lane = jnp.sum(
                 w_t * (-0.5 * inv_var * resid * resid + log_norm),
@@ -235,19 +291,25 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
             )                                                    # [1, wd]
             prior_lane = jnp.sum(g_t * logpdf_t, axis=0, keepdims=True)
             ll = jnp.dot(per_lane + prior_lane, b_mat,
-                         preferred_element_type=jnp.float32)     # [1, bm]
+                         preferred_element_type=jnp.float32,
+                         precision=_PREC_LL)     # [1, bm]
             return ll, resid
 
         def body(grp, carry):
             m0 = grp * bm
-            u = _gen_uniform((2, d, wd))
-            if fast_soft:
-                g_soft = offdiag_t / (1.0 + (1.0 / u[0] - 1.0) * exp_neg_t)
+            if debug_noise:
+                u0 = noise_ref[0, 0, pl.ds(grp * d, d), :]
+                u1 = noise_ref[0, 1, pl.ds(grp * d, d), :]
             else:
-                eps0 = jnp.log(u[0]) - jnp.log1p(-u[0])
+                u = _gen_uniform((2, d, wd))
+                u0, u1 = u[0], u[1]
+            if fast_soft:
+                g_soft = offdiag_t / (1.0 + (1.0 / u0 - 1.0) * exp_neg_t)
+            else:
+                eps0 = jnp.log(u0) - jnp.log1p(-u0)
                 g_soft = jax.nn.sigmoid(tau * (eps0 + alpha_scores_t)) \
                     * offdiag_t
-            g_hard = (u[1] < sig_as_t).astype(jnp.float32) * offdiag_t
+            g_hard = (u1 < sig_as_t).astype(jnp.float32) * offdiag_t
 
             ll_soft, resid_soft = group_score(g_soft)
             ll_hard, resid_hard = group_score(g_hard)
@@ -258,50 +320,65 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
             if not pass2:
                 acc_soft, acc_hard = carry
                 acc_soft = acc_soft + jnp.dot(
-                    ll_soft, one_hot, preferred_element_type=jnp.float32
+                    ll_soft, one_hot, preferred_element_type=jnp.float32,
+                    precision=_PREC_LL,
                 )
                 acc_hard = acc_hard + jnp.dot(
-                    ll_hard, one_hot, preferred_element_type=jnp.float32
+                    ll_hard, one_hot, preferred_element_type=jnp.float32,
+                    precision=_PREC_LL,
                 )
                 return acc_soft, acc_hard
 
             # gather this group's softmax weights, expand to wide lanes
             ws = jnp.dot(wsoft_row, one_hot.T,
-                         preferred_element_type=jnp.float32)   # [1, bm]
+                         preferred_element_type=jnp.float32, precision=_PREC_GRAD)   # [1, bm]
             wh = jnp.dot(whard_row, one_hot.T,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32, precision=_PREC_GRAD)
             ws_lane = jnp.dot(ws, b_mat.T,
-                              preferred_element_type=jnp.float32)  # [1, wd]
+                              preferred_element_type=jnp.float32, precision=_PREC_GRAD)  # [1, wd]
             wh_lane = jnp.dot(wh, b_mat.T,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32, precision=_PREC_GRAD)
 
             def group_dw(resid):
                 """dW (wide): x^T resid / sigma^2 -> [d, wd]."""
                 return inv_var * jax.lax.dot_general(
                     cast(x), cast(resid),
                     dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=_PREC_GRAD,
                 )
 
             dw_soft = group_dw(resid_soft)
             dg = theta_t * dw_soft + logpdf_t
             contrib_s = ws_lane * (tau * alpha * g_soft * (1.0 - g_soft) * dg)
             dscores_ref[0] += jnp.dot(contrib_s, s_mat,
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32, precision=_PREC_GRAD)
 
             dw_hard = group_dw(resid_hard)
             contrib_h = wh_lane * g_hard * (dw_hard + dprior_t)
             dtheta_ref[0] += jnp.dot(contrib_h, s_mat,
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32, precision=_PREC_GRAD)
             return carry
 
         if pass2:
-            jax.lax.fori_loop(0, n_groups, body, 0)
+            if debug_noise:
+                # static Python loop: grp stays a Python int, so the debug
+                # noise reads are static slices (tests only; n_groups tiny)
+                carry = 0
+                for grp in range(n_groups):
+                    carry = body(grp, carry)
+            else:
+                jax.lax.fori_loop(0, n_groups, body, 0)
         else:
             zero = jnp.zeros((1, m_pad), jnp.float32)
-            acc_soft, acc_hard = jax.lax.fori_loop(
-                0, n_groups, body, (zero, zero)
-            )
+            if debug_noise:
+                acc = (zero, zero)
+                for grp in range(n_groups):
+                    acc = body(grp, acc)
+                acc_soft, acc_hard = acc
+            else:
+                acc_soft, acc_hard = jax.lax.fori_loop(
+                    0, n_groups, body, (zero, zero)
+                )
             lsoft_ref[0] = acc_soft
             lhard_ref[0] = acc_hard
 
@@ -328,11 +405,12 @@ def _particle_specs(d, extra_pass2, n_pad):
                      "bf16"),
 )
 def _fused_pass1(seed, alpha, scores, theta, logpdf_theta, x_pad, w_pad,
-                 n_samples, bm, tau, obs_noise, interpret=False, bf16=False):
+                 noise=None, *, n_samples, bm, tau, obs_noise,
+                 interpret=False, bf16=False):
     p, d, _ = scores.shape
     n_pad = x_pad.shape[0]
     kernel = _make_kernel(n_samples, tau, obs_noise, pass2=False, bf16=bf16,
-                          block_m=bm)
+                          block_m=bm, debug_noise=noise is not None)
     m_pad = _round_up(n_samples, _LANE)
     out_shape = [
         jax.ShapeDtypeStruct((p, 1, m_pad), jnp.float32),
@@ -344,14 +422,21 @@ def _fused_pass1(seed, alpha, scores, theta, logpdf_theta, x_pad, w_pad,
         pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    in_specs = _particle_specs(d, False, n_pad)
+    args = [seed, alpha, scores, theta, logpdf_theta, x_pad, w_pad]
+    if noise is not None:
+        in_specs.append(
+            pl.BlockSpec((1,) + noise.shape[1:], lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(noise)
     l_soft, l_hard = pl.pallas_call(
         kernel,
         grid=(p,),
-        in_specs=_particle_specs(d, False, n_pad),
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(seed, alpha, scores, theta, logpdf_theta, x_pad, w_pad)
+    )(*args)
     return l_soft[:, 0, :n_samples], l_hard[:, 0, :n_samples]
 
 
@@ -361,8 +446,8 @@ def _fused_pass1(seed, alpha, scores, theta, logpdf_theta, x_pad, w_pad,
                      "interpret", "bf16"),
 )
 def _fused_pass2(seed, alpha, scores, theta, logpdf_theta, dprior_theta,
-                 x_pad, w_pad, w_soft, w_hard, n_samples, n_real, bm, tau,
-                 obs_noise, interpret=False, bf16=False):
+                 x_pad, w_pad, w_soft, w_hard, noise=None, *, n_samples,
+                 n_real, bm, tau, obs_noise, interpret=False, bf16=False):
     p, d, _ = scores.shape
     n_pad = x_pad.shape[0]
     m_pad = _round_up(n_samples, _LANE)
@@ -375,13 +460,17 @@ def _fused_pass2(seed, alpha, scores, theta, logpdf_theta, dprior_theta,
         w_hard
     )
     kernel = _make_kernel(n_samples, tau, obs_noise, pass2=True, bf16=bf16,
-                          block_m=bm)
+                          block_m=bm, debug_noise=noise is not None)
     in_specs = _particle_specs(d, True, n_pad) + [
         pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if noise is not None:
+        in_specs.append(
+            pl.BlockSpec((1,) + noise.shape[1:], lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
     out_specs = [
         pl.BlockSpec((1, d, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, d, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -398,12 +487,12 @@ def _fused_pass2(seed, alpha, scores, theta, logpdf_theta, dprior_theta,
         out_shape=out_shape,
         interpret=interpret,
     )(seed, alpha, scores, theta, logpdf_theta, dprior_theta, x_pad, w_pad,
-      w_soft, w_hard)
+      w_soft, w_hard, *([] if noise is None else [noise]))
 
 
 def fused_linear_estimators(
     *, zs, thetas, x, interv_mask, key, alpha, tau, n_samples, model,
-    bf16: bool = False, seed_offset=0,
+    bf16: bool = False, seed_offset=0, interpret=False, debug_noise=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Computes ``(d scores [P, d, d], d theta [P, d, d])`` — the fused
     Z-likelihood (reparam) and Θ-likelihood MC estimates for
@@ -454,8 +543,9 @@ def fused_linear_estimators(
 
     l_soft, l_hard = _fused_pass1(
         seed, alpha_arr, scores, thetas_p, logpdf_theta, x_pad, w_pad,
+        debug_noise,
         n_samples=m_total, bm=bm, tau=float(tau),
-        obs_noise=float(model.obs_noise), bf16=bf16,
+        obs_noise=float(model.obs_noise), bf16=bf16, interpret=interpret,
     )
     l_soft = l_soft[:, :n_samples]
     l_hard = l_hard[:, :n_samples]
@@ -464,9 +554,9 @@ def fused_linear_estimators(
 
     dscores, dtheta = _fused_pass2(
         seed, alpha_arr, scores, thetas_p, logpdf_theta, dprior_theta,
-        x_pad, w_pad, w_soft, w_hard,
+        x_pad, w_pad, w_soft, w_hard, debug_noise,
         n_samples=m_total, n_real=n_samples, bm=bm, tau=float(tau),
-        obs_noise=float(model.obs_noise), bf16=bf16,
+        obs_noise=float(model.obs_noise), bf16=bf16, interpret=interpret,
     )
     if dp != d:
         dscores = dscores[:, :d, :d]

@@ -61,6 +61,7 @@ try:
 except ImportError:  # pragma: no cover
     _PALLAS = False
 
+from dibs_tpu.inference.fused_linear import _ll_dot
 from dibs_tpu.ops.soft_graphs import _key_to_seed
 
 __all__ = ["fused_nonlinear_estimators", "fused_nonlinear_available"]
@@ -69,6 +70,13 @@ _LANE = 128
 _SUB = 8
 _MAX_D = 256
 _MAX_H = 16
+
+# Exact-f32 dots: Mosaic's default precision truncates MXU inputs to bf16,
+# which collapses the per-sample log-likelihood differences (and hence the
+# softmax weights) on unstandardized data — see fused_linear (same two
+# precision classes: scoring chain vs gradient accumulation).
+_PREC_LL = jax.lax.Precision.HIGHEST
+_PREC_GRAD = jax.lax.Precision.DEFAULT
 
 _ACTS = {
     "relu": (lambda x: jnp.maximum(x, 0.0),
@@ -126,7 +134,13 @@ def _pad_plan_nl(d: int, n_samples: int):
 def _gen_uniform(shape):
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     top = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-    return top.astype(jnp.float32) * (1.0 / (1 << 24)) + 0.5 / (1 << 24)
+    u = top.astype(jnp.float32) * (1.0 / (1 << 24)) + 0.5 / (1 << 24)
+    # round-to-even lands exactly on 1.0 when top == 2^24-1 (p = 2^-24 per
+    # draw); the fast-soft formula (1/u - 1) * exp(-alpha*s) then produces
+    # 0 * inf = NaN once exp overflows (late-annealing negative scores,
+    # ~1e7 draws/step at d=20 -- a near-certain mid-run collapse). Clamp to
+    # the largest f32 below 1.
+    return jnp.minimum(u, jnp.float32(1.0 - 2.0**-24))
 
 
 def _make_nl_kernel(*, n_samples: int, m_total: int, bm: int, h1: int,
@@ -218,7 +232,7 @@ def _make_nl_kernel(*, n_samples: int, m_total: int, bm: int, h1: int,
             mean = jnp.broadcast_to(b2_t, x_t.shape)
             for hh in range(h1):
                 wmask = g_t * w1_t[hh]
-                pre = jnp.dot(x, wmask, preferred_element_type=jnp.float32)
+                pre = _ll_dot(x, wmask, (((1,), (0,)), ((), ())))
                 pre = pre + b1_t[hh]
                 a = act(pre)
                 pres.append(pre)
@@ -255,9 +269,11 @@ def _make_nl_kernel(*, n_samples: int, m_total: int, bm: int, h1: int,
             ll_lane_h, delta_h, pre_h, act_h = forward(g_hard)
             # per-sample log-probs: reduce each sample's dp node-lanes
             ll_s = jnp.dot(ll_lane_s, b_mat,
-                           preferred_element_type=jnp.float32)  # [1, bm]
+                           preferred_element_type=jnp.float32,
+                           precision=_PREC_LL)  # [1, bm]
             ll_h = jnp.dot(ll_lane_h, b_mat,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=_PREC_LL)
             ll_s = jnp.where(valid, ll_s, neg_big)
             ll_h = jnp.where(valid, ll_h, neg_big)
 
@@ -274,9 +290,9 @@ def _make_nl_kernel(*, n_samples: int, m_total: int, bm: int, h1: int,
             z_hard = z_hard * scale_h + jnp.sum(w_smp_h)
             # broadcast each sample's weight to its dp lanes
             w_lane_s = jnp.dot(w_smp_s, b_mat.T,
-                               preferred_element_type=jnp.float32)  # [1, wd]
+                               preferred_element_type=jnp.float32, precision=_PREC_GRAD)  # [1, wd]
             w_lane_h = jnp.dot(w_smp_h, b_mat.T,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32, precision=_PREC_GRAD)
 
             dscores_ref[0] *= scale_s
             dw1_ref[0] *= scale_h
@@ -290,36 +306,36 @@ def _make_nl_kernel(*, n_samples: int, m_total: int, bm: int, h1: int,
                 u_h = delta_s * dact(pre_s[hh]) * w2_t[hh]
                 xtu = jax.lax.dot_general(
                     x, u_h, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=_PREC_GRAD,
                 )  # [dp, wd]
                 dg = dg + w1_t[hh] * xtu
             sens = tau * alpha * g_soft * (1.0 - g_soft)
             contrib = w_lane_s * sens * dg
             dscores_ref[0] += jnp.dot(contrib, s_mat,
-                                      preferred_element_type=jnp.float32)
+                                      preferred_element_type=jnp.float32, precision=_PREC_GRAD)
 
             # --- hard stream -> theta gradients ---
             delta_hw = w_lane_h * delta_h          # weight folded into δ
             db2_ref[0] += jnp.dot(
                 jnp.sum(delta_hw, axis=0, keepdims=True), s_mat,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_PREC_GRAD,
             )
             for hh in range(h1):
                 u_h = delta_hw * dact(pre_h[hh]) * w2_t[hh]
                 xtu = jax.lax.dot_general(
                     x, u_h, dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=_PREC_GRAD,
                 )
                 dw1_wide = g_hard * (xtu + w_lane_h * dprior_w1_t[hh])
                 dw1_ref[0, hh] += jnp.dot(dw1_wide, s_mat,
-                                          preferred_element_type=jnp.float32)
+                                          preferred_element_type=jnp.float32, precision=_PREC_GRAD)
                 db1_ref[0, hh:hh + 1, :] += jnp.dot(
                     jnp.sum(u_h, axis=0, keepdims=True), s_mat,
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32, precision=_PREC_GRAD,
                 )
                 dw2_ref[0, hh:hh + 1, :] += jnp.dot(
                     jnp.sum(delta_hw * act_h[hh], axis=0, keepdims=True),
-                    s_mat, preferred_element_type=jnp.float32,
+                    s_mat, preferred_element_type=jnp.float32, precision=_PREC_GRAD,
                 )
 
             return new_m_s, z_soft, new_m_h, z_hard

@@ -73,10 +73,15 @@ def _se_kernel_body(x_ref, y_ref, h_ref, scale_ref, out_ref, acc_ref):
     y_blk = y_ref[:]  # [BB, BN]
     x_sq = jnp.sum(x_blk * x_blk, axis=1, keepdims=True)  # [BA, 1]
     y_sq = jnp.sum(y_blk * y_blk, axis=1, keepdims=True)  # [BB, 1]
+    # HIGHEST: Mosaic's default dot truncates MXU inputs to bf16, and the
+    # x²+y²−2x·y form cancels catastrophically exactly where it matters —
+    # nearby particles (K ≈ 1), whose squared distance is ≪ ‖x‖². The
+    # multi-pass f32 matmul costs < 1 ms even at the P=2000 scaling config.
     cross = jax.lax.dot_general(
         x_blk, y_blk,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [BA, BB]
     acc_ref[:] += x_sq + y_sq.T - 2.0 * cross
 
@@ -145,6 +150,10 @@ def _make_gumbel_kernel(hard: bool):
         # shifted values are < 2^24 so the int32 reinterpretation is positive)
         top = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
         u = top.astype(jnp.float32) * (1.0 / (1 << 24)) + 0.5 / (1 << 24)
+        # clamp away the round-to-even u == 1.0 case (top == 2^24-1); here
+        # it only saturates the logit (benign), but keep every hardware
+        # uniform on the same strictly-in-(0,1) contract
+        u = jnp.minimum(u, jnp.float32(1.0 - 2.0**-24))
         eps = jnp.log(u) - jnp.log1p(-u)  # Logistic(0, 1)
 
         alpha = alpha_ref[0, 0]

@@ -66,10 +66,74 @@ def marginal_bge():
               f"auroc={auroc:.3f} (>0.55) eshd={eshd:.1f} (<{2*n_gt})")
 
 
+def kernel_numerics():
+    """Hardware-numerics canary: the Pallas BGe kernel vs the XLA
+    elimination on an ill-conditioned, large-scale dataset (collinear
+    columns — the regime where bf16-level MXU input truncation once drove
+    the bordered-Schur chain NaN; see ops/bge_kernel.py). Interpret-mode
+    CPU tests cannot catch Mosaic codegen regressions, this does."""
+    import jax
+    import jax.numpy as jnp
+    from jax import vmap
+
+    from dibs_tpu.ops.bge_kernel import bge_logdet_pairs, bge_pallas_available
+    from dibs_tpu.ops.logdet import masked_logdet_pd_pair
+
+    d, b, n = 20, 64, 100
+    if not bge_pallas_available(d):
+        print("[quality-gate] kernel_numerics: skipped (no TPU Pallas)",
+              flush=True)
+        return
+    k1, k2, k3 = random.split(random.PRNGKey(7), 3)
+    base = random.normal(k1, (n, 4))
+    mix = random.normal(k2, (4, d))
+    x = base @ mix * 8.0 + 0.5 * random.normal(k3, (n, d))
+    r_mats, _ = BGe(n_vars=d)._posterior_r_mats(
+        x, jnp.zeros_like(x, dtype=jnp.int32))
+    gs = (random.uniform(random.PRNGKey(1), (b, d, d)) < 0.5).astype(
+        jnp.float32) * (1.0 - jnp.eye(d))
+    pa, full = bge_logdet_pairs(r_mats, gs)
+    eye = jnp.eye(d)
+    ref_pa, ref_full = vmap(lambda g: vmap(
+        lambda j: masked_logdet_pd_pair(r_mats[j], g[:, j], eye[:, j])
+    )(jnp.arange(d)))(gs)
+    err = float(jnp.maximum(jnp.abs(pa - ref_pa).max(),
+                            jnp.abs(full - ref_full).max()))
+    nan = bool(jnp.isnan(pa).any() or jnp.isnan(full).any())
+    check("kernel_numerics/bge_ill_conditioned", (not nan) and err < 2e-2,
+          f"max_abs_err={err:.2e} (<2e-2) nan={nan}")
+
+
+def scale_robustness():
+    """Unstandardized-data canary for the fused likelihood kernels: at 10x
+    data scale the per-sample log-likelihood spreads grow ~100x, the regime
+    where (a) Mosaic's default bf16 MXU truncation once collapsed the
+    softmax weights (AUROC -> 0.50) and (b) the u == 1.0 hardware-uniform
+    rounding once NaN'd the fast-soft formula mid-run. The XLA estimators
+    score ~0.85-0.9 here; 0.75 flags a kernel regression without being
+    seed-fragile."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        print("[quality-gate] scale_robustness: skipped (no TPU)",
+              flush=True)
+        return
+    key, subk = random.split(random.PRNGKey(123))
+    data, gm, lm = make_linear_gaussian_model(
+        key=subk, n_vars=12, graph_prior_str="sf")
+    dibs = JointDiBS(x=data.x * 10.0, graph_model=gm, likelihood_model=lm)
+    gs, thetas = dibs.sample(key=key, n_particles=12, steps=800)
+    eshd, auroc = metrics(dibs.get_empirical(gs, thetas), data.g)
+    check("scale_robustness/joint_linear_10x", auroc > 0.75,
+          f"auroc={auroc:.3f} (>0.75) eshd={eshd:.1f}")
+
+
 def main():
     t0 = time.perf_counter()
     joint_linear()
     marginal_bge()
+    kernel_numerics()
+    scale_robustness()
     dt = time.perf_counter() - t0
     if FAILURES:
         print(f"[quality-gate] FAILED ({len(FAILURES)} checks) in {dt:.0f}s")

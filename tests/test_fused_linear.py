@@ -53,3 +53,135 @@ def test_fused_gate_requires_reparam():
         grad_estimator_z="score",
     )
     assert dibs.est.fused_grad_both is None
+
+
+# ---------------------------------------------------------------------------
+# Debug-noise exactness: with injected uniforms the two-pass kernel is
+# deterministic, and its outputs must equal jax.grad of
+# ``logsumexp_m log p(Θ, D | G_m)`` (grad of logsumexp = softmax-weighted sum
+# of per-sample grads — exactly the self-normalized estimator). Runs in
+# interpret mode on CPU; the 10x data scale guards the regime where the
+# bf16-MXU truncation class of bugs shows up on hardware.
+# ---------------------------------------------------------------------------
+import jax
+import pytest
+from jax.scipy.special import logsumexp
+
+from dibs_tpu.inference.fused_linear import (
+    _pad_plan,
+    fused_linear_estimators,
+)
+from dibs_tpu.models import LinearGaussian
+from dibs_tpu.ops.edges import edge_scores
+
+pytestmark = []
+
+
+def _ll_joint(g, theta, x, w, model):
+    mean = x @ (g * theta)
+    resid = (x - mean) * w
+    log_norm = -0.5 * jnp.log(2.0 * jnp.pi * model.obs_noise)
+    ll = jnp.sum(w * (-0.5 / model.obs_noise * resid**2 + log_norm))
+    lp = (-0.5 * ((theta - model.mean_edge) / model.sig_edge) ** 2
+          - jnp.log(model.sig_edge) - 0.5 * jnp.log(2.0 * jnp.pi))
+    return ll + jnp.sum(g * lp)
+
+
+@pytest.mark.heavy
+@pytest.mark.parametrize("tau,scale", [
+    (1.0, 1.0),    # fast_soft production path
+    (1.0, 10.0),   # unstandardized-data regime
+    (0.7, 1.0),    # generic sigmoid path
+])
+def test_fused_linear_matches_autodiff(tau, scale):
+    d, p, m, alpha = 6, 2, 20, 1.7
+    n_obs = 12
+    key = random.PRNGKey(0)
+    model = LinearGaussian(n_vars=d, obs_noise=0.1)
+    k1, k2, k3, k4 = random.split(key, 4)
+    thetas = model.sample_parameters(key=k1, n_vars=d, n_particles=p)
+    x = random.normal(k2, (n_obs, d)) * scale
+    interv = (random.uniform(k3, x.shape) < 0.2).astype(jnp.int32)
+    w = 1.0 - interv.astype(jnp.float32)
+    zs = 0.7 * random.normal(k4, (p, d, d, 2))
+
+    dp, bm, m_total = _pad_plan(d, m)
+    n_groups = m_total // bm
+    wd = bm * dp
+    uniforms = random.uniform(
+        random.PRNGKey(42), (p, 2, n_groups * dp, wd),
+        minval=1e-4, maxval=1.0 - 1e-4)
+
+    dscores, dtheta = fused_linear_estimators(
+        zs=zs, thetas=thetas, x=x, interv_mask=interv,
+        key=random.PRNGKey(7), alpha=alpha, tau=tau, n_samples=m,
+        model=model, interpret=True, debug_noise=uniforms)
+
+    scores = edge_scores(zs)
+    offdiag = 1.0 - jnp.eye(d)
+
+    def blocks(pp, which, mm):
+        grp, mloc = mm // bm, mm % bm
+        return uniforms[pp, which, grp * dp:(grp + 1) * dp,
+                        mloc * dp:(mloc + 1) * dp][:d, :d]
+
+    for pp in range(p):
+        theta_p = thetas[pp]
+
+        def lse_soft(s):
+            lls = []
+            for mm in range(m):
+                u0 = blocks(pp, 0, mm)
+                eps = jnp.log(u0) - jnp.log1p(-u0)
+                g_soft = jax.nn.sigmoid(tau * (eps + alpha * s)) * offdiag
+                lls.append(_ll_joint(g_soft, theta_p, x, w, model))
+            return logsumexp(jnp.stack(lls))
+
+        def lse_hard(th):
+            lls = []
+            for mm in range(m):
+                u1 = blocks(pp, 1, mm)
+                g_hard = (u1 < jax.nn.sigmoid(alpha * scores[pp])).astype(
+                    jnp.float32) * offdiag
+                lls.append(_ll_joint(g_hard, th, x, w, model))
+            return logsumexp(jnp.stack(lls))
+
+        ds_exp = jax.grad(lse_soft)(scores[pp])
+        dt_exp = jax.grad(lse_hard)(theta_p)
+        ds_tol = 1e-4 * max(1.0, float(jnp.abs(ds_exp).max()))
+        dt_tol = 1e-4 * max(1.0, float(jnp.abs(dt_exp).max()))
+        assert jnp.abs(dscores[pp] - ds_exp).max() < ds_tol, (
+            f"dscores mismatch p={pp}: "
+            f"{float(jnp.abs(dscores[pp] - ds_exp).max()):.3e} vs tol {ds_tol:.3e}")
+        assert jnp.abs(dtheta[pp] - dt_exp).max() < dt_tol, (
+            f"dtheta mismatch p={pp}: "
+            f"{float(jnp.abs(dtheta[pp] - dt_exp).max()):.3e} vs tol {dt_tol:.3e}")
+
+
+def test_uniform_clamp_prevents_fast_soft_nan():
+    """The 24-bit hardware-uniform mapping rounds to exactly 1.0 when the
+    top bits are all ones (round-to-even at (2^24-1)/2^24 + 2^-25), and the
+    fast-soft formula ``offdiag / (1 + (1/u - 1) * exp(-alpha*s))`` then
+    produces 0 * inf = NaN once ``exp`` overflows (strongly negative score
+    under late annealing). The kernels clamp every uniform to the largest
+    f32 below 1; this pins both the hazard and the fix's arithmetic."""
+    import numpy as np
+
+    top = np.float32(2**24 - 1)
+    u_unclamped = top * np.float32(1.0 / (1 << 24)) + np.float32(
+        0.5 / (1 << 24))
+    assert u_unclamped == np.float32(1.0)  # the hazard is real
+    with np.errstate(invalid="ignore"):
+        bad = (np.float32(1.0) / u_unclamped - np.float32(1.0)) * np.float32(
+            np.inf)
+    assert np.isnan(bad)
+
+    u = np.minimum(u_unclamped, np.float32(1.0 - 2.0**-24))
+    assert u < np.float32(1.0)
+    g = np.float32(1.0) / (np.float32(1.0)
+                           + (np.float32(1.0) / u - np.float32(1.0))
+                           * np.float32(np.inf))
+    assert g == np.float32(0.0)  # correct sigmoid(-inf) limit, not NaN
+    # and the clamp target is what jnp.minimum applies in the kernels
+    import jax.numpy as jnp
+    assert float(jnp.float32(1.0 - 2.0**-24)) == float(u)
