@@ -135,12 +135,16 @@ def _gen_uniform(shape):
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     top = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
     u = top.astype(jnp.float32) * (1.0 / (1 << 24)) + 0.5 / (1 << 24)
-    # round-to-even lands exactly on 1.0 when top == 2^24-1 (p = 2^-24 per
-    # draw); the fast-soft formula (1/u - 1) * exp(-alpha*s) then produces
-    # 0 * inf = NaN once exp overflows (late-annealing negative scores,
-    # ~1e7 draws/step at d=20 -- a near-certain mid-run collapse). Clamp to
-    # the largest f32 below 1.
-    return jnp.minimum(u, jnp.float32(1.0 - 2.0**-24))
+    # Two stacked hazards force the clamp one ulp below the largest f32
+    # under 1: (a) round-to-even lands exactly on 1.0 when top == 2^24-1
+    # (p = 2^-24 per draw); (b) the TPU reciprocal is not correctly
+    # rounded -- measured on v5e, 1.0 / (1 - 2^-24) returns exactly 1.0
+    # (x86 gives 1.0000001). Either way the fast-soft formula
+    # (1/u - 1) * exp(-alpha*s) produces 0 * inf = NaN once exp overflows
+    # (score < -88/alpha, routine under late annealing; ~1e7 draws/step at
+    # d=20 made this a near-certain mid-run collapse). At 1 - 2^-23 the
+    # hardware reciprocal is strictly > 1 and the limit is exact (g -> 0).
+    return jnp.minimum(u, jnp.float32(1.0 - 2.0**-23))
 
 
 def _make_nl_kernel(*, n_samples: int, m_total: int, bm: int, h1: int,

@@ -152,8 +152,10 @@ def _make_gumbel_kernel(hard: bool):
         u = top.astype(jnp.float32) * (1.0 / (1 << 24)) + 0.5 / (1 << 24)
         # clamp away the round-to-even u == 1.0 case (top == 2^24-1); here
         # it only saturates the logit (benign), but keep every hardware
-        # uniform on the same strictly-in-(0,1) contract
-        u = jnp.minimum(u, jnp.float32(1.0 - 2.0**-24))
+        # uniform on the same strictly-in-(0,1), reciprocal-safe contract
+        # as the fused kernels (see fused_linear._gen_uniform: the TPU
+        # reciprocal of 1 - 2^-24 is exactly 1.0)
+        u = jnp.minimum(u, jnp.float32(1.0 - 2.0**-23))
         eps = jnp.log(u) - jnp.log1p(-u)  # Logistic(0, 1)
 
         alpha = alpha_ref[0, 0]

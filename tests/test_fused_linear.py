@@ -176,12 +176,17 @@ def test_uniform_clamp_prevents_fast_soft_nan():
             np.inf)
     assert np.isnan(bad)
 
-    u = np.minimum(u_unclamped, np.float32(1.0 - 2.0**-24))
+    # the clamp must sit at 1 - 2^-23, NOT 1 - 2^-24: the TPU's f32
+    # reciprocal is not correctly rounded and returns exactly 1.0 for
+    # 1 - 2^-24 (measured on v5e; x86 below computes 1.0000001), which
+    # re-creates t1 == 0 and the same 0 * inf. At 1 - 2^-23 the quotient
+    # is >= 1 + 2^-23 under ANY faithful rounding, so t1 > 0 everywhere.
+    u = np.minimum(u_unclamped, np.float32(1.0 - 2.0**-23))
     assert u < np.float32(1.0)
-    g = np.float32(1.0) / (np.float32(1.0)
-                           + (np.float32(1.0) / u - np.float32(1.0))
-                           * np.float32(np.inf))
+    t1 = np.float32(1.0) / u - np.float32(1.0)
+    assert t1 > 0.0
+    g = np.float32(1.0) / (np.float32(1.0) + t1 * np.float32(np.inf))
     assert g == np.float32(0.0)  # correct sigmoid(-inf) limit, not NaN
     # and the clamp target is what jnp.minimum applies in the kernels
     import jax.numpy as jnp
-    assert float(jnp.float32(1.0 - 2.0**-24)) == float(u)
+    assert float(jnp.float32(1.0 - 2.0**-23)) == float(u)
