@@ -100,7 +100,14 @@ class DenseNonlinearGaussian:
 
     def sample_parameters(self, *, key, n_vars, n_particles=0, batch_size=0):
         """Samples parameters from the prior with optional ``batch_size`` and
-        ``n_particles`` leading dims (dims equal to 0 are dropped)."""
+        ``n_particles`` leading dims (dims equal to 0 are dropped).
+
+        Parameter dtype follows JAX's x64 state, which subsumes the
+        reference's ``JAX_ENABLE_X64`` env sniff (nonlinearGaussian.py:184-185)
+        — jax reads that env var at import, and ``random.normal`` then yields
+        float64 leaves directly (pinned by
+        tests/test_nonlinear_gaussian.py::test_sample_parameters_x64_parity).
+        """
         del n_vars
         batch_shape = tuple(s for s in (batch_size, n_particles) if s != 0)
         return self._init_layer_stack(key, batch_shape)
