@@ -390,6 +390,59 @@ def test_score_ratio_matches_reference_given_same_samples(ref_marginal_pair):
     onp.testing.assert_allclose(ref_grad, our_grad, rtol=1e-4, atol=1e-5)
 
 
+def test_score_baseline_finite_regime_matches_reference(ref_marginal_pair):
+    """Reference EMA baseline in its finite regime (dibs.py:363-391):
+    with ``score_function_baseline = c > 0`` the reference (a) rescales the
+    WHOLE zero-baseline ratio gradient by ``exp(-b)`` — the log-space
+    subtraction enters only the numerator logsumexp — and (b) updates the
+    baseline by a linear-space EMA ``c * mean(logprobs) + (1-c) * b``.
+
+    Pinned next to dibs-tpu's documented divergence (estimators.py
+    ``_grad_z_score_from_logprobs``): the third block shows the exp(-b)
+    factor overflowing at a realistically-sized |log p| baseline (the EMA
+    tracks mean log-joint ≈ -1e3 at d=20/N=100), which is WHY dibs-tpu uses
+    a signed linear-space control variate instead (its finiteness at every
+    scale is covered by test_estimators.test_score_function_baseline_updates).
+    """
+    ref, ours = ref_marginal_pair
+    z = random.normal(random.PRNGKey(40), (D, K, 2)) * 0.7
+    t = 21
+    gs = _rand_dags(random.PRNGKey(41), 16)
+
+    ref.sample_g = lambda p, subk, n: gs  # instance-level stub
+    old_m = ref.n_grad_mc_samples
+    old_c = ref.score_function_baseline
+    c = 0.33
+    ref.n_grad_mc_samples = gs.shape[0]
+    ref.score_function_baseline = c
+    try:
+        key = random.PRNGKey(42)
+        grad_b0, new_b0 = ref.grad_z_likelihood_score_function(
+            z, None, jnp.zeros(1), t, key
+        )
+        b = jnp.array([1.7])
+        grad_b, new_b = ref.grad_z_likelihood_score_function(z, None, b, t, key)
+        # (a) exp(-b) rescaling of the zero-baseline gradient
+        onp.testing.assert_allclose(
+            grad_b, jnp.exp(-b[0]) * grad_b0, rtol=1e-4, atol=1e-6
+        )
+        # (b) linear-space EMA: new_b - (1-c) b == c * mean(logprobs),
+        # identical across calls because the update ignores the adjustment
+        onp.testing.assert_allclose(
+            new_b - (1.0 - c) * b, new_b0, rtol=1e-5, atol=1e-6
+        )
+        # (c) the overflow that motivates the divergence: once the EMA has
+        # tracked a realistic mean log-joint, exp(-b) is inf in f32
+        grad_real, _ = ref.grad_z_likelihood_score_function(
+            z, None, jnp.array([-1.0e3]), t, key
+        )
+        assert not bool(jnp.isfinite(grad_real).all())
+    finally:
+        del ref.sample_g
+        ref.n_grad_mc_samples = old_m
+        ref.score_function_baseline = old_c
+
+
 def test_reparam_ratio_matches_reference_given_same_eps(ref_joint_pair):
     """Gumbel reparam ratio (dibs.py:395-459): same Logistic noise on both
     sides; validates the one-vjp softmax-cotangent form against the
