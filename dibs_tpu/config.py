@@ -39,3 +39,36 @@ def set_likelihood_matmul_precision(p) -> None:
 
 def likelihood_matmul_precision():
     return _likelihood_matmul_precision
+
+
+# --- Pallas kill switch -----------------------------------------------------
+#
+# None = auto (Pallas on TPU, XLA elsewhere). False disables every Pallas
+# fast path — the engines fall back to the XLA formulations, which are
+# bitwise-testable against CPU and keep full f32 likelihood weighting on
+# extreme-scale (unstandardized) data. Also settable via the environment:
+# DIBS_DISABLE_PALLAS=1.
+
+_pallas_override: "bool | None" = None
+
+
+def set_pallas_enabled(on) -> None:
+    """Force the Pallas fast paths on/off; ``None`` restores auto-detect.
+
+    ``False`` is the supported direction (exact-XLA fallback everywhere).
+    ``True`` force-enables on a non-TPU backend — only meaningful for
+    tests/interpret-mode debugging; the Mosaic kernels themselves still
+    require TPU hardware to execute. Takes effect at the next trace
+    (construct engines after setting it).
+    """
+    global _pallas_override
+    _pallas_override = on
+
+
+def pallas_override():
+    """Returns the forced setting (True/False) or None for auto."""
+    import os
+
+    if os.environ.get("DIBS_DISABLE_PALLAS", "") not in ("", "0"):
+        return False
+    return _pallas_override

@@ -603,6 +603,33 @@ def make_estimators(
 
     # --- optional fused Pallas sample-and-score path (LinearGaussian) ---
 
+    def _advise_extreme_scale(obs_noise):
+        """Advisory for unstandardized data: estimate the per-sample
+        |log-likelihood| magnitude N·Σ_j E[x_j²]/(2σ²). The fused kernels'
+        MC-sample weighting measurably degrades once it reaches ~1e7
+        (AUROC 0.87 -> ~0.75 at 10x data scale, d=20 — see DESIGN.md §11f);
+        the clean regime measures ~1e5. Warn from 1e6 up, recommending the
+        standard practice (standardize x) and the kill switch."""
+        import numpy as _np
+
+        x_host = _np.asarray(x)
+        est = float(
+            x_host.shape[0] * _np.square(x_host).mean(0).sum()
+            / (2.0 * float(obs_noise))
+        )
+        if est > 1.0e6:
+            import warnings
+
+            warnings.warn(
+                f"data scale puts |log-likelihood| ~ {est:.1e} per sample; "
+                "beyond ~1e6 the fused Pallas kernels' MC-sample weighting "
+                "loses fidelity in f32 (DESIGN.md §11f). Standardize x "
+                "(recommended), or disable the fused paths with "
+                "dibs_tpu.config.set_pallas_enabled(False) / "
+                "DIBS_DISABLE_PALLAS=1 to keep the exact XLA estimators.",
+                stacklevel=3,
+            )
+
     fused_grad_both = None
     if fused_sample_sharing is not None and cfg.grad_estimator_z == "reparam":
         if fused_sample_sharing != "hard":
@@ -623,6 +650,7 @@ def make_estimators(
         if fused_nonlinear_available(fused_nonlinear_model,
                                      n_obs=x.shape[0]):
             model_nl = fused_nonlinear_model
+            _advise_extreme_scale(model_nl.obs_noise)
 
             def fused_grad_both(zs, thetas, t, key,  # noqa: F811
                                 x=None, interv_mask=None):
@@ -671,6 +699,7 @@ def make_estimators(
                     stacklevel=2,
                 )
         else:
+            _advise_extreme_scale(fused_linear_model.obs_noise)
 
             def fused_grad_both(zs, thetas, t, key,
                                 x=None, interv_mask=None):

@@ -51,7 +51,16 @@ _GROUP_SEED_STRIDE = 7919
 
 
 def pallas_enabled() -> bool:
-    """True if the current default backend can run the Pallas kernels."""
+    """True if the current default backend can run the Pallas kernels.
+
+    Honors the kill switch (:func:`dibs_tpu.config.set_pallas_enabled` /
+    ``DIBS_DISABLE_PALLAS=1``): forced-off always wins; forced-on still
+    requires an importable pallas."""
+    from dibs_tpu.config import pallas_override
+
+    forced = pallas_override()
+    if forced is not None:
+        return bool(forced) and _PALLAS_AVAILABLE
     return _PALLAS_AVAILABLE and jax.default_backend() == "tpu"
 
 

@@ -29,3 +29,87 @@ def test_gate_is_cpu_false_tpu_shape_free():
 
     if jax.default_backend() != "tpu":
         assert not fused_linear_available(128)
+
+
+def test_pallas_kill_switch():
+    """set_pallas_enabled(False) / DIBS_DISABLE_PALLAS force every gate off;
+    None restores auto-detect; env wins over the programmatic setting."""
+    import os
+
+    import dibs_tpu.config as config
+    from dibs_tpu.inference.fused_nonlinear import fused_nonlinear_available
+    from dibs_tpu.models import DenseNonlinearGaussian
+    from dibs_tpu.ops.pallas_kernels import pallas_enabled
+
+    model = DenseNonlinearGaussian(n_vars=8, hidden_layers=(5,))
+    try:
+        config.set_pallas_enabled(False)
+        assert not pallas_enabled()
+        assert not fused_linear_available(20)
+        assert not fused_nonlinear_available(model, n_obs=100)
+
+        config.set_pallas_enabled(True)  # forced on (CPU): gates honor it
+        assert pallas_enabled()
+
+        config.set_pallas_enabled(None)  # auto: CPU backend -> off
+        import jax
+
+        if jax.default_backend() != "tpu":
+            assert not pallas_enabled()
+
+        os.environ["DIBS_DISABLE_PALLAS"] = "1"
+        config.set_pallas_enabled(True)
+        assert not pallas_enabled(), "env kill switch must win"
+    finally:
+        os.environ.pop("DIBS_DISABLE_PALLAS", None)
+        config.set_pallas_enabled(None)
+
+
+def test_extreme_scale_advisory():
+    """The fused paths warn once |log-likelihood| magnitudes reach the
+    measured degradation regime (DESIGN.md 11f), and stay silent on
+    standard-scale data."""
+    import warnings
+
+    import jax.numpy as jnp
+    import numpy as onp
+    import pytest as _pytest
+    from jax import random
+
+    import dibs_tpu.config as config
+    from dibs_tpu.inference.estimators import EstimatorConfig, make_estimators
+    from dibs_tpu.models import LinearGaussian
+
+    d = 6
+    lm = LinearGaussian(n_vars=d)
+    x_small = random.normal(random.PRNGKey(0), (50, d))
+    x_big = x_small * 100.0
+    cfg = EstimatorConfig(alpha_linear=0.2, n_grad_mc_samples=4,
+                          grad_estimator_z="reparam")
+
+    def build(x):
+        return make_estimators(
+            cfg=cfg,
+            log_graph_prior=lambda soft_g: jnp.array(0.0),
+            log_joint_prob=lm.interventional_log_joint_prob,
+            x=x,
+            interv_mask=jnp.zeros_like(x, dtype=jnp.int32),
+            fused_linear_model=lm,
+        )
+
+    est_mag = 50 * float(onp.square(onp.asarray(x_big)).mean(0).sum()) / (
+        2 * lm.obs_noise
+    )
+    assert est_mag > 1e6, "test data must sit in the advisory regime"
+
+    try:
+        # force the gate open on CPU so the advisory branch is reached
+        # (the kernel itself is never executed at trace time here)
+        config.set_pallas_enabled(True)
+        with _pytest.warns(UserWarning, match="log-likelihood"):
+            build(x_big)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            build(x_small)  # must NOT warn at standard scale
+    finally:
+        config.set_pallas_enabled(None)
