@@ -77,16 +77,27 @@ _MAX_D = 384
 #                noise, so fewer MXU passes are safe.
 _PREC_LL = jax.lax.Precision.HIGHEST
 _PREC_GRAD = jax.lax.Precision.DEFAULT
-# The big forward matmuls use a manual 3-pass bf16 split instead of
-# HIGHEST: Mosaic lowers HIGHEST to 6 MXU passes (and rejects HIGH), while
-# hi*hi + lo*hi + hi*lo reaches ~2^-17 relative error — far below the
-# softmax's resolution needs at any data scale — at half the passes.
+# The forward matmuls use a manual 3-pass bf16 split instead of HIGHEST:
+# Mosaic lowers HIGHEST to 6 MXU passes (and rejects HIGH), while
+# hi*hi + lo*hi + hi*lo reaches ~2^-17 relative error — enough for the
+# gradient residuals (already-softmax-weighted sums; errors act as extra
+# MC noise) and, on standardized-scale data, for the pass-1 lls feeding
+# the softmax weights. On 10x-scale data a residual quality gap vs the
+# XLA path remains (DESIGN.md §11f) that ablations could NOT pin on this
+# matmul: running pass-1 scoring at true f32 (HIGHEST, 2^-24; ~8%
+# throughput cost, toggle below) did not move the seed medians, so the
+# default keeps the 3-pass split and the engine warns on extreme-scale
+# data instead (estimators._advise_extreme_scale).
 _LL_SPLIT3 = True
+# Pass-1 true-f32 ablation toggle (module-level trace-time constant so
+# experiments can A/B it in one process). Off by default — see above.
+_LL_PASS1_HI = False
 
 
-def _ll_dot(a, b, dims):
-    """Scoring-chain matmul at ~f32 accuracy (see _LL_SPLIT3)."""
-    if not _LL_SPLIT3:
+def _ll_dot(a, b, dims, hi=False):
+    """Scoring-chain matmul: true f32 when ``hi`` (pass-1 lls), else the
+    3-pass bf16 split (~2^-17, see _LL_SPLIT3)."""
+    if hi or not _LL_SPLIT3:
         return jax.lax.dot_general(a, b, dimension_numbers=dims,
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
@@ -284,10 +295,15 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
             return a.astype(jnp.bfloat16) if bf16 else a
 
         def group_score(g_t):
-            """g_t: [d, wd] wide graphs -> (ll [1, bm], resid [Np, wd])."""
+            """g_t: [d, wd] wide graphs -> (ll [1, bm], resid [Np, wd]).
+
+            Pass 1 consumes the ll (softmax weights — needs true f32);
+            pass 2 consumes only resid (gradient noise — split-3 is fine;
+            its unused ll chain is dead code the compiler drops)."""
             w_wide = g_t * theta_t
             means = _ll_dot(cast(x), cast(w_wide),
-                             (((1,), (0,)), ((), ())))  # [Np, wd]
+                             (((1,), (0,)), ((), ())),
+                             hi=_LL_PASS1_HI and not pass2)  # [Np, wd]
             resid = (x_t - means) * w_t
             per_lane = jnp.sum(
                 w_t * (-0.5 * inv_var * resid * resid + log_norm),
