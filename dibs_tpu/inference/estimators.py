@@ -603,14 +603,20 @@ def make_estimators(
 
     # --- optional fused Pallas sample-and-score path (LinearGaussian) ---
 
-    def _advise_extreme_scale(obs_noise):
-        """Advisory for unstandardized data: estimate the per-sample
-        |log-likelihood| magnitude N·Σ_j E[x_j²]/(2σ²). The fused kernels'
-        MC-sample weighting measurably degrades once it reaches ~1e7
-        (AUROC 0.87 -> ~0.75 at 10x data scale, d=20 — see DESIGN.md §11f);
-        the clean regime measures ~1e5. Warn from 1e6 up, recommending the
-        standard practice (standardize x) and the kill switch."""
+    def _data_scale_policy(obs_noise):
+        """Scale-gated numerics for the fused kernels: estimate the
+        per-sample |log-likelihood| magnitude N·Σ_j E[x_j²]/(2σ²) and
+        return ``fast_ll`` — True selects the single-pass bf16 scoring
+        chain, safe below ``_FAST_LL_MAX`` (the d=20 protocols measure
+        1.4e4–9.3e4 there and were parity-validated at that precision);
+        above it the kernels use the 3-pass f32 split. The MC-sample
+        weighting measurably degrades at ~1e7 regardless of matmul
+        precision (AUROC 0.87 -> ~0.75 at 10x data scale — DESIGN.md
+        §11f), so warn from 1e6 up, recommending the standard practice
+        (standardize x) and the kill switch."""
         import numpy as _np
+
+        from dibs_tpu.inference.fused_linear import _FAST_LL_MAX
 
         x_host = _np.asarray(x)
         est = float(
@@ -629,6 +635,7 @@ def make_estimators(
                 "DIBS_DISABLE_PALLAS=1 to keep the exact XLA estimators.",
                 stacklevel=3,
             )
+        return est <= _FAST_LL_MAX
 
     fused_grad_both = None
     if fused_sample_sharing is not None and cfg.grad_estimator_z == "reparam":
@@ -650,7 +657,7 @@ def make_estimators(
         if fused_nonlinear_available(fused_nonlinear_model,
                                      n_obs=x.shape[0]):
             model_nl = fused_nonlinear_model
-            _advise_extreme_scale(model_nl.obs_noise)
+            fast_ll_nl = _data_scale_policy(model_nl.obs_noise)
 
             def fused_grad_both(zs, thetas, t, key,  # noqa: F811
                                 x=None, interv_mask=None):
@@ -666,13 +673,14 @@ def make_estimators(
                         zs=zs, thetas=thetas, x=x_, interv_mask=interv_,
                         key=key, alpha=cfg.alpha(t), tau=cfg.tau,
                         n_samples=cfg.n_grad_mc_samples, model=model_nl,
-                        sharding=sharding,
+                        sharding=sharding, fast_ll=fast_ll_nl,
                     )
                 else:
                     dscores, dtheta = fused_nonlinear_estimators(
                         zs=zs, thetas=thetas, x=x_, interv_mask=interv_,
                         key=key, alpha=cfg.alpha(t), tau=cfg.tau,
                         n_samples=cfg.n_grad_mc_samples, model=model_nl,
+                        fast_ll=fast_ll_nl,
                     )
                 # chain d/d scores -> d/dZ:  dU = dS V,  dV = dSᵀ U
                 u, v = zs[..., 0], zs[..., 1]
@@ -699,7 +707,7 @@ def make_estimators(
                     stacklevel=2,
                 )
         else:
-            _advise_extreme_scale(fused_linear_model.obs_noise)
+            fast_ll_lin = _data_scale_policy(fused_linear_model.obs_noise)
 
             def fused_grad_both(zs, thetas, t, key,
                                 x=None, interv_mask=None):
@@ -715,13 +723,14 @@ def make_estimators(
                         key=key, alpha=cfg.alpha(t), tau=cfg.tau,
                         n_samples=cfg.n_grad_mc_samples,
                         model=fused_linear_model, sharding=sharding,
+                        fast_ll=fast_ll_lin,
                     )
                 else:
                     dscores, dtheta = fused_linear_estimators(
                         zs=zs, thetas=thetas, x=x_, interv_mask=interv_,
                         key=key, alpha=cfg.alpha(t), tau=cfg.tau,
                         n_samples=cfg.n_grad_mc_samples,
-                        model=fused_linear_model,
+                        model=fused_linear_model, fast_ll=fast_ll_lin,
                     )
                 # chain d/d scores -> d/dZ:  dU = dS V,  dV = dSᵀ U
                 u, v = zs[..., 0], zs[..., 1]

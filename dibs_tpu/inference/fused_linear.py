@@ -92,15 +92,34 @@ _LL_SPLIT3 = True
 # Pass-1 true-f32 ablation toggle (module-level trace-time constant so
 # experiments can A/B it in one process). Off by default — see above.
 _LL_PASS1_HI = False
+# Scale gate for the single-pass bf16 scoring chain: the estimator factory
+# passes fast_ll=True when the dataset's estimated per-sample
+# |log-likelihood| N·Σ_j E[x_j²]/(2σ²) is below this. 1e5 is the largest
+# magnitude with direct clean evidence (the d=20 parity/quality protocols
+# measure 1.4e4–9.3e4 and were validated at DEFAULT precision for two
+# rounds); the measured failure regime starts at ~1.7e6 (10x scale).
+_FAST_LL_MAX = 1.0e5
 
 
-def _ll_dot(a, b, dims, hi=False):
-    """Scoring-chain matmul: true f32 when ``hi`` (pass-1 lls), else the
-    3-pass bf16 split (~2^-17, see _LL_SPLIT3)."""
+def _ll_dot(a, b, dims, hi=False, fast=False):
+    """Scoring-chain matmul at one of three precisions:
+
+    * ``fast`` — single DEFAULT-precision pass (Mosaic truncates the f32
+      operands to bf16, ~2^-9 relative). Selected per dataset when the
+      estimated per-sample |log-likelihood| stays below ``_FAST_LL_MAX``
+      (standardized-scale data) — the configuration all round-2/3 parity
+      and quality measurements ran at.
+    * default — the 3-pass bf16 split (~2^-17 relative), for large-scale
+      data where bf16 truncation drowns the ll differences.
+    * ``hi`` — true f32 (HIGHEST, 6 Mosaic passes); ablation only.
+    """
     if hi or not _LL_SPLIT3:
         return jax.lax.dot_general(a, b, dimension_numbers=dims,
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
+    if fast:
+        return jax.lax.dot_general(a, b, dimension_numbers=dims,
+                                   preferred_element_type=jnp.float32)
     a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
     b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
 
@@ -192,7 +211,7 @@ def _gen_noise(shape):
 
 def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
                  bf16: bool = False, block_m: int = 8,
-                 debug_noise: bool = False):
+                 debug_noise: bool = False, fast_ll: bool = False):
     """Builds the pass-1 (scoring) or pass-2 (gradient) kernel body.
 
     Grid: ``(P,)`` — one cell per particle. Samples are processed
@@ -297,13 +316,15 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
         def group_score(g_t):
             """g_t: [d, wd] wide graphs -> (ll [1, bm], resid [Np, wd]).
 
-            Pass 1 consumes the ll (softmax weights — needs true f32);
-            pass 2 consumes only resid (gradient noise — split-3 is fine;
-            its unused ll chain is dead code the compiler drops)."""
+            Pass 1 consumes the ll (softmax weights — precision per
+            _ll_dot's scale-gated policy); pass 2 consumes only resid
+            (gradient noise; its unused ll chain is dead code the
+            compiler drops)."""
             w_wide = g_t * theta_t
             means = _ll_dot(cast(x), cast(w_wide),
                              (((1,), (0,)), ((), ())),
-                             hi=_LL_PASS1_HI and not pass2)  # [Np, wd]
+                             hi=_LL_PASS1_HI and not pass2,
+                             fast=fast_ll)  # [Np, wd]
             resid = (x_t - means) * w_t
             per_lane = jnp.sum(
                 w_t * (-0.5 * inv_var * resid * resid + log_norm),
@@ -422,15 +443,16 @@ def _particle_specs(d, extra_pass2, n_pad):
 @functools.partial(
     jax.jit,
     static_argnames=("n_samples", "bm", "tau", "obs_noise", "interpret",
-                     "bf16"),
+                     "bf16", "fast_ll"),
 )
 def _fused_pass1(seed, alpha, scores, theta, logpdf_theta, x_pad, w_pad,
                  noise=None, *, n_samples, bm, tau, obs_noise,
-                 interpret=False, bf16=False):
+                 interpret=False, bf16=False, fast_ll=False):
     p, d, _ = scores.shape
     n_pad = x_pad.shape[0]
     kernel = _make_kernel(n_samples, tau, obs_noise, pass2=False, bf16=bf16,
-                          block_m=bm, debug_noise=noise is not None)
+                          block_m=bm, debug_noise=noise is not None,
+                          fast_ll=fast_ll)
     m_pad = _round_up(n_samples, _LANE)
     out_shape = [
         jax.ShapeDtypeStruct((p, 1, m_pad), jnp.float32),
@@ -463,11 +485,12 @@ def _fused_pass1(seed, alpha, scores, theta, logpdf_theta, x_pad, w_pad,
 @functools.partial(
     jax.jit,
     static_argnames=("n_samples", "n_real", "bm", "tau", "obs_noise",
-                     "interpret", "bf16"),
+                     "interpret", "bf16", "fast_ll"),
 )
 def _fused_pass2(seed, alpha, scores, theta, logpdf_theta, dprior_theta,
                  x_pad, w_pad, w_soft, w_hard, noise=None, *, n_samples,
-                 n_real, bm, tau, obs_noise, interpret=False, bf16=False):
+                 n_real, bm, tau, obs_noise, interpret=False, bf16=False,
+                 fast_ll=False):
     p, d, _ = scores.shape
     n_pad = x_pad.shape[0]
     m_pad = _round_up(n_samples, _LANE)
@@ -480,7 +503,8 @@ def _fused_pass2(seed, alpha, scores, theta, logpdf_theta, dprior_theta,
         w_hard
     )
     kernel = _make_kernel(n_samples, tau, obs_noise, pass2=True, bf16=bf16,
-                          block_m=bm, debug_noise=noise is not None)
+                          block_m=bm, debug_noise=noise is not None,
+                          fast_ll=fast_ll)
     in_specs = _particle_specs(d, True, n_pad) + [
         pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -513,6 +537,7 @@ def _fused_pass2(seed, alpha, scores, theta, logpdf_theta, dprior_theta,
 def fused_linear_estimators(
     *, zs, thetas, x, interv_mask, key, alpha, tau, n_samples, model,
     bf16: bool = False, seed_offset=0, interpret=False, debug_noise=None,
+    fast_ll: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Computes ``(d scores [P, d, d], d theta [P, d, d])`` — the fused
     Z-likelihood (reparam) and Θ-likelihood MC estimates for
@@ -566,6 +591,7 @@ def fused_linear_estimators(
         debug_noise,
         n_samples=m_total, bm=bm, tau=float(tau),
         obs_noise=float(model.obs_noise), bf16=bf16, interpret=interpret,
+        fast_ll=fast_ll,
     )
     l_soft = l_soft[:, :n_samples]
     l_hard = l_hard[:, :n_samples]
@@ -577,6 +603,7 @@ def fused_linear_estimators(
         x_pad, w_pad, w_soft, w_hard, debug_noise,
         n_samples=m_total, n_real=n_samples, bm=bm, tau=float(tau),
         obs_noise=float(model.obs_noise), bf16=bf16, interpret=interpret,
+        fast_ll=fast_ll,
     )
     if dp != d:
         dscores = dscores[:, :d, :d]

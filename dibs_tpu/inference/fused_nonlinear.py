@@ -149,7 +149,8 @@ def _gen_uniform(shape):
 
 def _make_nl_kernel(*, n_samples: int, m_total: int, bm: int, h1: int,
                     tau: float, obs_noise: float, sig_param: float,
-                    activation: str, debug_noise: bool):
+                    activation: str, debug_noise: bool,
+                    fast_ll: bool = False):
     """Kernel body. Grid ``(P,)``; one cell = one particle, all samples."""
     inv_var = 1.0 / obs_noise
     inv_varp = 1.0 / (sig_param * sig_param)
@@ -236,7 +237,8 @@ def _make_nl_kernel(*, n_samples: int, m_total: int, bm: int, h1: int,
             mean = jnp.broadcast_to(b2_t, x_t.shape)
             for hh in range(h1):
                 wmask = g_t * w1_t[hh]
-                pre = _ll_dot(x, wmask, (((1,), (0,)), ((), ())))
+                pre = _ll_dot(x, wmask, (((1,), (0,)), ((), ())),
+                              fast=fast_ll)
                 pre = pre + b1_t[hh]
                 a = act(pre)
                 pres.append(pre)
@@ -371,18 +373,18 @@ def _make_nl_kernel(*, n_samples: int, m_total: int, bm: int, h1: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_samples", "m_total", "bm", "h1", "tau", "obs_noise",
-                     "sig_param", "activation", "interpret"),
+                     "sig_param", "activation", "interpret", "fast_ll"),
 )
 def _fused_nl_call(seed, alpha, scores, w1t, l1, b1t, w2t, x_pad, w_pad,
                    noise, *, n_samples, m_total, bm, h1, tau, obs_noise,
-                   sig_param, activation, interpret=False):
+                   sig_param, activation, interpret=False, fast_ll=False):
     p, dp, _ = scores.shape
     n_pad = x_pad.shape[0]
     debug_noise = noise is not None
     kernel = _make_nl_kernel(
         n_samples=n_samples, m_total=m_total, bm=bm, h1=h1, tau=tau,
         obs_noise=obs_noise, sig_param=sig_param, activation=activation,
-        debug_noise=debug_noise,
+        debug_noise=debug_noise, fast_ll=fast_ll,
     )
     smem = lambda: pl.BlockSpec((1, 1), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)
@@ -437,7 +439,7 @@ def _fused_nl_call(seed, alpha, scores, w1t, l1, b1t, w2t, x_pad, w_pad,
 
 def fused_nonlinear_estimators(
     *, zs, thetas, x, interv_mask, key, alpha, tau, n_samples, model,
-    seed_offset=0, interpret=False, debug_noise=None,
+    seed_offset=0, interpret=False, debug_noise=None, fast_ll: bool = False,
 ) -> Tuple[jnp.ndarray, list]:
     """Computes ``(dscores [P, d, d], dtheta pytree)`` for
     :class:`~dibs_tpu.models.DenseNonlinearGaussian` with one hidden layer.
@@ -499,7 +501,7 @@ def fused_nonlinear_estimators(
         debug_noise,
         n_samples=n_samples, m_total=m_total, bm=bm, h1=h1, tau=float(tau),
         obs_noise=float(model.obs_noise), sig_param=float(model.sig_param),
-        activation=model.activation, interpret=interpret,
+        activation=model.activation, interpret=interpret, fast_ll=fast_ll,
     )
 
     dscores = dscores[:, :d, :d]

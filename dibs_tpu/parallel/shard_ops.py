@@ -151,7 +151,7 @@ def sharded_se_matrix(x, y, h: float, scale: float, *,
 
 def sharded_fused_linear(*, zs, thetas, x, interv_mask, key, alpha, tau,
                          n_samples, model, sharding: NamedSharding,
-                         bf16: bool = False):
+                         bf16: bool = False, fast_ll: bool = False):
     """Runs the fused linear-Gaussian sample-and-score estimator per shard.
 
     The whole two-pass scheme (scoring pass, per-particle softmax, gradient
@@ -170,7 +170,7 @@ def sharded_fused_linear(*, zs, thetas, x, interv_mask, key, alpha, tau,
         return fused_linear_estimators(
             zs=zs_blk, thetas=thetas_blk, x=x_, interv_mask=interv_,
             key=key_, alpha=alpha_, tau=tau, n_samples=n_samples, model=model,
-            bf16=bf16, seed_offset=offset,
+            bf16=bf16, seed_offset=offset, fast_ll=fast_ll,
         )
 
     fn = shard_map(
@@ -184,7 +184,8 @@ def sharded_fused_linear(*, zs, thetas, x, interv_mask, key, alpha, tau,
 
 
 def sharded_fused_nonlinear(*, zs, thetas, x, interv_mask, key, alpha, tau,
-                            n_samples, model, sharding: NamedSharding):
+                            n_samples, model, sharding: NamedSharding,
+                            fast_ll: bool = False):
     """Runs the single-pass nonlinear sample-and-score kernel per shard.
 
     Same structure as :func:`sharded_fused_linear`: the online-softmax
@@ -202,7 +203,7 @@ def sharded_fused_nonlinear(*, zs, thetas, x, interv_mask, key, alpha, tau,
         return fused_nonlinear_estimators(
             zs=zs_blk, thetas=thetas_blk, x=x_, interv_mask=interv_,
             key=key_, alpha=alpha_, tau=tau, n_samples=n_samples,
-            model=model, seed_offset=offset,
+            model=model, seed_offset=offset, fast_ll=fast_ll,
         )
 
     fn = shard_map(

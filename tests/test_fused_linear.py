@@ -190,3 +190,40 @@ def test_uniform_clamp_prevents_fast_soft_nan():
     # and the clamp target is what jnp.minimum applies in the kernels
     import jax.numpy as jnp
     assert float(jnp.float32(1.0 - 2.0**-23)) == float(u)
+
+
+@pytest.mark.heavy
+def test_fast_ll_plumbing_matches_exact_on_cpu():
+    """fast_ll only changes the matmul algorithm on hardware (single
+    bf16-truncated MXU pass vs the 3-pass split); in CPU interpret mode both
+    are plain f32 dots, so the outputs must agree to f32 roundoff. Guards
+    the static-arg plumbing through both passes."""
+    d, p, m, alpha, tau = 6, 2, 12, 1.7, 1.0
+    n_obs = 10
+    key = random.PRNGKey(3)
+    model = LinearGaussian(n_vars=d, obs_noise=0.1)
+    k1, k2, k3, k4 = random.split(key, 4)
+    thetas = model.sample_parameters(key=k1, n_vars=d, n_particles=p)
+    x = random.normal(k2, (n_obs, d))
+    interv = (random.uniform(k3, x.shape) < 0.2).astype(jnp.int32)
+    zs = 0.7 * random.normal(k4, (p, d, d, 2))
+
+    dp, bm, m_total = _pad_plan(d, m)
+    n_groups = m_total // bm
+    uniforms = random.uniform(
+        random.PRNGKey(11), (p, 2, n_groups * dp, bm * dp),
+        minval=1e-4, maxval=1.0 - 1e-4)
+
+    kw = dict(zs=zs, thetas=thetas, x=x, interv_mask=interv,
+              key=random.PRNGKey(7), alpha=alpha, tau=tau, n_samples=m,
+              model=model, interpret=True, debug_noise=uniforms)
+    ds_f, dt_f = fused_linear_estimators(fast_ll=True, **kw)
+    ds_e, dt_e = fused_linear_estimators(fast_ll=False, **kw)
+
+    def max_rel(a, b):
+        return float(jnp.abs(a - b).max() / jnp.abs(b).max())
+
+    # split-3 quantizes operands to bf16 pieces even in interpret mode, so
+    # the two differ by its ~2^-17 algorithm error (measured ~2e-6 here)
+    assert max_rel(ds_f, ds_e) < 1e-4
+    assert max_rel(dt_f, dt_e) < 1e-4
