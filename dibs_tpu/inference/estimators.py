@@ -630,7 +630,8 @@ def make_estimators(
                 f"data scale puts |log-likelihood| ~ {est:.1e} per sample; "
                 "beyond ~1e6 the fused Pallas kernels' MC-sample weighting "
                 "loses fidelity in f32 (DESIGN.md §11f). Standardize x "
-                "(recommended), or disable the fused paths with "
+                "(dibs_tpu.utils.standardize; recommended), or disable the "
+                "fused paths with "
                 "dibs_tpu.config.set_pallas_enabled(False) / "
                 "DIBS_DISABLE_PALLAS=1 to keep the exact XLA estimators.",
                 stacklevel=3,

@@ -3,6 +3,7 @@ from dibs_tpu.utils.func import (
     masked_slogdet,
     pytree_sq_norm_matrix,
     squared_norm_pytree,
+    standardize,
     zero_diagonal,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "masked_slogdet",
     "pytree_sq_norm_matrix",
     "squared_norm_pytree",
+    "standardize",
     "zero_diagonal",
 ]

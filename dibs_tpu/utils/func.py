@@ -122,3 +122,37 @@ def masked_slogdet(m: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     outer = mask[..., :, None] * mask[..., None, :]
     submat = outer * m + (1.0 - outer) * jnp.eye(d, dtype=m.dtype)
     return jnp.linalg.slogdet(submat)[1]
+
+
+def standardize(x: jnp.ndarray, *, return_stats: bool = False, eps=1e-8):
+    """Column-standardizes observations: ``(x - mean) / std`` per variable.
+
+    Beyond-reference convenience (the reference only ever generates
+    ~unit-scale synthetic data): the standard preprocessing for BN structure
+    learning, and the recommended response to the engine's extreme-data-scale
+    advisory (the fused Pallas kernels weight MC samples by per-sample
+    log-likelihoods in f32 — see docs/DESIGN.md §11f).
+
+    Caveat for *synthetic* benchmarks: standardizing removes the
+    marginal-variance ordering ("varsortability", Reisach et al. 2021) that
+    makes raw simulated linear-Gaussian SEMs easy — measured here as AUROC
+    0.85 -> 0.59 on the d=10 quick-start data — so apply it to real-world /
+    extreme-scale data, not when reproducing the reference's raw-data
+    protocols. Apply the SAME stats to held-out data before likelihood
+    metrics::
+
+        x_std, (mu, sd) = standardize(data.x, return_stats=True)
+        x_ho_std = (data.x_ho - mu) / sd
+
+    Args:
+        x: ``[N, d]`` observations.
+        return_stats: also return ``(mean [d], std [d])``.
+        eps: lower bound on the per-column std (guards constant columns).
+
+    Returns:
+        ``x_std`` or ``(x_std, (mean, std))``.
+    """
+    mu = jnp.mean(x, axis=0)
+    sd = jnp.maximum(jnp.std(x, axis=0), eps)
+    x_std = (x - mu) / sd
+    return (x_std, (mu, sd)) if return_stats else x_std

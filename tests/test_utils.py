@@ -128,3 +128,22 @@ def test_masked_logdet_pd_matches_slogdet(seed):
     g1 = jax.grad(lambda s: masked_logdet_pd(m, s))(soft)
     g2 = jax.grad(lambda s: masked_slogdet(m, s))(soft)
     assert jnp.allclose(g1, g2, atol=1e-3)
+
+
+def test_standardize():
+    import jax.numpy as jnp
+    from jax import random
+
+    from dibs_tpu.utils import standardize
+
+    x = random.normal(random.PRNGKey(0), (50, 4)) * jnp.array(
+        [1.0, 10.0, 100.0, 1e-12]) + jnp.array([0.0, 5.0, -3.0, 2.0])
+    x_std, (mu, sd) = standardize(x, return_stats=True)
+    assert jnp.allclose(x_std.mean(0), 0.0, atol=1e-5)
+    # non-degenerate columns reach unit std; the constant column is guarded
+    # by eps instead of dividing by ~0
+    assert jnp.allclose(x_std.std(0)[:3], 1.0, atol=1e-4)
+    assert jnp.isfinite(x_std).all()
+    assert jnp.allclose((x - mu) / sd, x_std)
+    # stats round-trip onto held-out data
+    assert standardize(x).shape == x.shape
