@@ -15,6 +15,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from jax import random
 
+# honor JAX_PLATFORMS even when a site plugin force-registers another
+# backend after env parsing (e.g. tunneled-TPU images)
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from dibs_tpu.inference import JointDiBS
 from dibs_tpu.metrics import (
     expected_shd,

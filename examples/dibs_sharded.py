@@ -19,6 +19,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# honor JAX_PLATFORMS even when a site plugin force-registers another
+# backend after env parsing (e.g. tunneled-TPU images)
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 from jax import random
 
 from dibs_tpu.inference import JointDiBS
