@@ -10,7 +10,14 @@ few likelihood decimals for throughput on large configs:
     cfg.set_likelihood_matmul_precision("default")
 
 Only the *likelihood* matmuls read this knob; the BGe covariance/determinant
-path and the SVGD transport always run at ``'highest'``.
+path always runs at ``'highest'``. The SVGD transport has its own knob
+(:func:`set_transport_matmul_precision`, default ``'highest'``) because its
+``[P, P] @ [P, n]`` driver/repulsion matmuls are ~a quarter of the step at
+production scale (d=128, P=1000) and tolerate reduced precision: the driver
+term weights *stochastic* gradient estimates whose MC noise dwarfs bf16x3
+rounding, and the repulsion term is a kernel-weighted sum of particle
+coordinates. ``'high'`` (bf16x3, ~2^-17 relative) is the measured-safe fast
+setting; see benchmarks/RESULTS.md for the quality/throughput A/B.
 """
 from __future__ import annotations
 
@@ -39,6 +46,29 @@ def set_likelihood_matmul_precision(p) -> None:
 
 def likelihood_matmul_precision():
     return _likelihood_matmul_precision
+
+
+_transport_matmul_precision = jax.lax.Precision.HIGHEST
+
+
+def set_transport_matmul_precision(p) -> None:
+    """Sets the precision of the SVGD transport's ``[P, P] @ [P, n]``
+    driver/repulsion matmuls (:mod:`dibs_tpu.inference.transport`).
+
+    Accepts ``'default' | 'high' | 'highest'`` or a ``jax.lax.Precision``.
+    On TPU these lower to 1 / 3 / 6 MXU passes respectively. The kernel
+    *matrix* (squared-distance Gram form) is unaffected — its exponent
+    feeds ``exp`` and keeps its own fixed policy. Takes effect at the next
+    trace (construct engines after setting it).
+    """
+    global _transport_matmul_precision
+    if isinstance(p, str):
+        p = _PRECISIONS[p]
+    _transport_matmul_precision = p
+
+
+def transport_matmul_precision():
+    return _transport_matmul_precision
 
 
 # --- Pallas kill switch -----------------------------------------------------

@@ -35,7 +35,15 @@ __all__ = [
     "joint_transport",
 ]
 
-_HI = jax.lax.Precision.HIGHEST
+def _prec():
+    """Transport matmul precision — a trace-time config lookup
+    (:func:`dibs_tpu.config.transport_matmul_precision`, default HIGHEST).
+    At production scale (d=128, P=1000) these two matmul families are ~a
+    quarter of the SVGD step; ``'high'`` (bf16x3) halves their MXU passes
+    with rounding far below the estimators' MC noise floor."""
+    from dibs_tpu.config import transport_matmul_precision
+
+    return transport_matmul_precision()
 
 
 def _flat(a: jnp.ndarray) -> jnp.ndarray:
@@ -44,14 +52,16 @@ def _flat(a: jnp.ndarray) -> jnp.ndarray:
 
 def _driver(k_mat: jnp.ndarray, grads: jnp.ndarray) -> jnp.ndarray:
     """``sum_m K[m, i] * grads[m]`` for all ``i`` — one MXU matmul."""
-    return jnp.matmul(k_mat.T, _flat(grads), precision=_HI).reshape(grads.shape)
+    return jnp.matmul(k_mat.T, _flat(grads),
+                      precision=_prec()).reshape(grads.shape)
 
 
 def _se_repulsion(k_mat: jnp.ndarray, factor, values: jnp.ndarray) -> jnp.ndarray:
     """``sum_m ∇_{v_m} k(v_m, v_i) = factor * (K^T V - colsum(K) ⊙ V)``."""
     vf = _flat(values)
     colsum = k_mat.sum(axis=0)
-    rep = factor * (jnp.matmul(k_mat.T, vf, precision=_HI) - colsum[:, None] * vf)
+    rep = factor * (jnp.matmul(k_mat.T, vf, precision=_prec())
+                    - colsum[:, None] * vf)
     return rep.reshape(values.shape)
 
 

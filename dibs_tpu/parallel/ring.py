@@ -41,6 +41,15 @@ __all__ = ["ring_marginal_transport", "ring_joint_transport", "ring_available"]
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _prec():
+    """Driver/repulsion matmul precision — same trace-time knob as the
+    unsharded transport (dibs_tpu.config.transport_matmul_precision).
+    The Gram cross-term stays at HIGHEST: its output feeds an exp."""
+    from dibs_tpu.config import transport_matmul_precision
+
+    return transport_matmul_precision()
+
+
 def _flat(tree) -> jnp.ndarray:
     leaves = tree_leaves(tree)
     return jnp.concatenate(
@@ -121,8 +130,8 @@ def ring_marginal_transport(kernel, z: jnp.ndarray, dz: jnp.ndarray,
             zb, dzb = blocks
             k_blk = _se_tile(zb, z_f, h, scale)  # [P_blk, P_loc]
             drv, rep_kv, colsum = acc
-            drv = drv + jnp.matmul(k_blk.T, dzb, precision=_HI)
-            rep_kv = rep_kv + jnp.matmul(k_blk.T, zb, precision=_HI)
+            drv = drv + jnp.matmul(k_blk.T, dzb, precision=_prec())
+            rep_kv = rep_kv + jnp.matmul(k_blk.T, zb, precision=_prec())
             colsum = colsum + k_blk.sum(axis=0)
             return drv, rep_kv, colsum
 
@@ -166,11 +175,11 @@ def ring_joint_transport(kernel, z: jnp.ndarray, theta: Any,
             kt_blk = _se_tile(tb, th_f_loc, h_t, s_t)
             k_blk = kz_blk + kt_blk
             (drv_z, rep_z, cs_z, drv_t, rep_t, cs_t) = acc
-            drv_z = drv_z + jnp.matmul(k_blk.T, dzb, precision=_HI)
-            rep_z = rep_z + jnp.matmul(kz_blk.T, zb, precision=_HI)
+            drv_z = drv_z + jnp.matmul(k_blk.T, dzb, precision=_prec())
+            rep_z = rep_z + jnp.matmul(kz_blk.T, zb, precision=_prec())
             cs_z = cs_z + kz_blk.sum(axis=0)
-            drv_t = drv_t + jnp.matmul(k_blk.T, dtb, precision=_HI)
-            rep_t = rep_t + jnp.matmul(kt_blk.T, tb, precision=_HI)
+            drv_t = drv_t + jnp.matmul(k_blk.T, dtb, precision=_prec())
+            rep_t = rep_t + jnp.matmul(kt_blk.T, tb, precision=_prec())
             cs_t = cs_t + kt_blk.sum(axis=0)
             return drv_z, rep_z, cs_z, drv_t, rep_t, cs_t
 

@@ -123,3 +123,32 @@ def test_custom_kernel_falls_back_to_autodiff():
     phi = marginal_transport(MyKernel(), z, dz)
     assert phi.shape == z.shape
     assert jnp.isfinite(phi).all()
+
+
+def test_transport_precision_knob():
+    """The transport precision knob is read at trace time and restores
+    cleanly. On CPU every precision computes identically, so this checks
+    plumbing (the throughput effect is TPU-only); the knob must also leave
+    the likelihood precision untouched."""
+    import jax
+
+    import dibs_tpu.config as config
+    from dibs_tpu.inference.transport import marginal_transport
+    from dibs_tpu.kernel import AdditiveFrobeniusSEKernel
+
+    key = random.PRNGKey(11)
+    k1, k2 = random.split(key)
+    z = random.normal(k1, (6, 4, 3, 2))
+    dz = random.normal(k2, (6, 4, 3, 2))
+    kern = AdditiveFrobeniusSEKernel(h=5.0)
+
+    ref = marginal_transport(kern, z, dz)
+    try:
+        for p in ("default", "high", "highest"):
+            config.set_transport_matmul_precision(p)
+            phi = jax.jit(lambda a, b: marginal_transport(kern, a, b))(z, dz)
+            assert jnp.allclose(phi, ref, atol=1e-5)
+    finally:
+        config.set_transport_matmul_precision("highest")
+    assert config.likelihood_matmul_precision() == jax.lax.Precision.HIGHEST
+    assert config.transport_matmul_precision() == jax.lax.Precision.HIGHEST
