@@ -74,8 +74,16 @@ def main():
         data, gm, lm = make_nonlinear_gaussian_model(
             key=subk, n_vars=20, graph_prior_str="sf", hidden_layers=(5,))
         dibs = JointDiBS(x=data.x, graph_model=gm, likelihood_model=lm)
+    elif args.config == 5:
+        from dibs_tpu.target import make_linear_gaussian_model
+
+        n_particles = 1000
+        data, gm, lm = make_linear_gaussian_model(
+            key=subk, n_vars=128, graph_prior_str="sf")
+        dibs = JointDiBS(x=data.x, graph_model=gm, likelihood_model=lm,
+                         n_grad_mc_samples=32, n_acyclicity_mc_samples=8)
     else:
-        raise SystemExit("configs 1 and 3 only")
+        raise SystemExit("configs 1, 3 and 5 only")
 
     state = dibs.init_state(key=random.PRNGKey(0), n_particles=n_particles)
     z, theta = state.z, state.theta
@@ -89,13 +97,16 @@ def main():
     from dibs_tpu.ops.soft_graphs import sample_hard_graphs
 
     alpha = cfg.alpha(t)
+    # config 5 materializes [P, M, d, d] (~2 GB) in the component views;
+    # shorter chains keep each timed execution under the worker watchdog
+    n_chain = 5 if args.config == 5 else 20
 
     # --- sampling ---
     def samp(z_):
         g_all = sample_hard_graphs(edge_scores(z_), keys[0], alpha,
                                    cfg.n_grad_mc_samples)
         return z_ + g_all.mean() * 1e-20
-    ms = chain_time(samp, z)
+    ms = chain_time(samp, z, n=n_chain)
     print(f"hard sampling (pallas/xla auto): {ms*1e3:8.3f} ms")
 
     # --- likelihood scoring of the sampled batch ---
@@ -121,7 +132,7 @@ def main():
                 (0, 0),
             )(g_all, theta)
             return g_all + lp.mean() * 1e-20
-    ms = chain_time(score_batch, gs)
+    ms = chain_time(score_batch, gs, n=n_chain)
     print(f"likelihood scoring [P,M] batch:  {ms*1e3:8.3f} ms")
 
     # --- full Z-likelihood estimator ---
@@ -129,7 +140,7 @@ def main():
         dz, _ = est.eltwise_grad_z_likelihood(
             z_, theta, state.sf_baseline, t, keys)
         return z_ + dz * 1e-20
-    ms = chain_time(zlik, z)
+    ms = chain_time(zlik, z, n=n_chain)
     print(f"Z-likelihood estimator:          {ms*1e3:8.3f} ms")
 
     if theta is not None:
@@ -140,7 +151,7 @@ def main():
                 dth = est.eltwise_grad_theta_likelihood(z_, theta, t, keys)
             leaf = jax.tree_util.tree_leaves(dth)[0]
             return z_ + leaf.mean() * 1e-20
-        ms = chain_time(tlik, z)
+        ms = chain_time(tlik, z, n=n_chain)
         print(f"theta estimator (or fused both): {ms*1e3:8.3f} ms")
 
     # --- prior score ---
@@ -148,7 +159,7 @@ def main():
         dz = est.eltwise_grad_latent_prior(
             z_, keys, t, dibs._resolve_latent_std(z.shape[2]))
         return z_ + dz * 1e-20
-    ms = chain_time(prior, z)
+    ms = chain_time(prior, z, n=n_chain)
     print(f"prior + acyclicity score:        {ms*1e3:8.3f} ms")
 
     # --- transport ---
@@ -161,22 +172,30 @@ def main():
         def trans(z_):
             phi_z, _ = joint_transport(dibs.kernel, z_, theta, z_, theta)
             return z_ + phi_z * 1e-20
-    ms = chain_time(trans, z)
+    ms = chain_time(trans, z, n=n_chain)
     print(f"kernel matrix + transport:       {ms*1e3:8.3f} ms")
 
     # --- full step ---
     step = dibs._make_step(dibs._resolve_latent_std(z.shape[2]))
-    ms = chain_time(step, state)
+    ms = chain_time(step, state, n=n_chain)
     print(f"FULL STEP:                       {ms*1e3:8.3f} ms "
           f"({1e3/ (ms*1e3):.1f} steps/s)")
 
     # --- roofline accounting (VERDICT r2 item 1) ---
-    from dibs_tpu.accounting import bge_step_cost, nonlinear_step_cost
+    from dibs_tpu.accounting import (
+        bge_step_cost,
+        linear_step_cost,
+        nonlinear_step_cost,
+    )
 
     if args.config == 1:
         cost = bge_step_cost(d=d, n_obs=dibs.x.shape[0], p=n_particles,
                              m=cfg.n_grad_mc_samples,
                              kmc=cfg.n_acyclicity_mc_samples)
+    elif args.config == 5:
+        cost = linear_step_cost(d=d, n_obs=dibs.x.shape[0], p=n_particles,
+                                m=cfg.n_grad_mc_samples,
+                                kmc=cfg.n_acyclicity_mc_samples)
     else:
         cost = nonlinear_step_cost(d=d, n_obs=dibs.x.shape[0],
                                    p=n_particles, m=cfg.n_grad_mc_samples,
