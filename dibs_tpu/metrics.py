@@ -21,6 +21,7 @@ __all__ = [
     "ParticleDistribution",
     "pairwise_structural_hamming_distance",
     "expected_shd",
+    "expected_cpdag_shd",
     "expected_edges",
     "threshold_metrics",
     "neg_ave_log_marginal_likelihood",
@@ -72,6 +73,36 @@ def expected_shd(*, dist: ParticleDistribution, g):
     shds = pairwise_structural_hamming_distance(x=particles, y=g[None]).squeeze(1)
     log_eshd, sign = logsumexp(
         log_weights, b=shds.astype(log_weights.dtype), axis=0, return_sign=True
+    )
+    return sign * jnp.exp(log_eshd)
+
+
+def expected_cpdag_shd(*, dist: ParticleDistribution, g):
+    """``E_p[SHD(CPDAG(G), CPDAG(G*))]`` — equivalence-class recovery error.
+
+    Beyond-reference metric (see :mod:`dibs_tpu.ops.cpdag`): from
+    observational data the (BGe) posterior is identifiable only up to the
+    Markov equivalence class, so this scores each acyclic particle's
+    *CPDAG* against the ground truth's, charging nothing for orientations
+    the class leaves free. Cyclic-particle fallback matches
+    :func:`expected_shd` (``d(d-1)/2`` when no particle is a DAG).
+
+    Host-side (numpy) — evaluation path only.
+    """
+    from dibs_tpu.ops.cpdag import dag_to_cpdag, eltwise_dag_to_cpdag, pdag_shd
+
+    n_vars = g.shape[0]
+    is_dag = _dag_filter(dist, n_vars)
+    if is_dag.sum() == 0:
+        return n_vars * (n_vars - 1) / 2
+
+    particles = onp.asarray(dist.g[is_dag, :, :])
+    logp = onp.asarray(dist.logp[is_dag])
+    log_weights = logp - logsumexp(logp)
+    shds = pdag_shd(eltwise_dag_to_cpdag(particles), dag_to_cpdag(g)[None])
+    log_eshd, sign = logsumexp(
+        jnp.asarray(log_weights), b=jnp.asarray(shds, dtype=jnp.float32),
+        axis=0, return_sign=True,
     )
     return sign * jnp.exp(log_eshd)
 
