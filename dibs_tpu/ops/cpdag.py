@@ -149,7 +149,7 @@ def pdag_shd(x, y) -> onp.ndarray:
     # 0 none, 1 i→j, 2 undirected — built from (a[i,j], a[j,i])
     def code(a):
         at = onp.swapaxes(a, -1, -2)
-        return a + 2 * (a & at) - (a & at)  # 0, 1, or 2 (= a + a&at)
+        return a + (a & at)  # 0 none, 1 directed, 2 undirected
 
     cx, cy = code(x), code(y)
     diff = (cx != cy)
