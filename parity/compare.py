@@ -127,8 +127,14 @@ def main():
             " reference DiBS+ | dibs-tpu DiBS+ |",
             "|---|---|---|---|---|",
         ]
-        for label, key in [("E-SHD", "eshd"), ("AUROC", "auroc"),
-                           (f"neg {'M' if cfg == 1 else ''}LL", ll_key)]:
+        rows = [("E-SHD", "eshd"), ("AUROC", "auroc"),
+                (f"neg {'M' if cfg == 1 else ''}LL", ll_key)]
+        # equivalence-class SHD (recorded by both harnesses from round 3
+        # on; older result files simply lack the key and render as —)
+        if any(_vals(s, est, "cpdag_eshd")
+               for s in (r, o) for est in ("empirical", "mixture")):
+            rows.insert(1, ("E-CPDAG-SHD", "cpdag_eshd"))
+        for label, key in rows:
             for stat, fmt in [("mean±sd", fmt_mean),
                               ("median [IQR]", fmt_median)]:
                 lines.append(

@@ -83,9 +83,14 @@ def build_config(idx, seed, grad_estimator_z=None):
 
 
 def metrics_for(dist, g_gt, x_ho, dibs, kind):
+    from dibs_tpu.metrics import expected_cpdag_shd
+
     out = {
         "eshd": float(expected_shd(dist=dist, g=g_gt)),
         "auroc": float(threshold_metrics(dist=dist, g=g_gt)["roc_auc"]),
+        # equivalence-class recovery (beyond-reference metric; recorded on
+        # both sides of the comparison from round 3 on)
+        "cpdag_eshd": float(expected_cpdag_shd(dist=dist, g=g_gt)),
     }
     if kind == "marginal":
         out["neg_mll"] = float(neg_ave_log_marginal_likelihood(

@@ -118,9 +118,15 @@ def save_data(idx, seed, data, extras):
 
 
 def metrics_for(dist, data, dibs, kind):
+    # dibs_tpu's equivalence-class metric applied to the REFERENCE posterior
+    # (duck-typed: it reads only dist.logp / dist.g) so both sides of the
+    # comparison report cpdag_eshd from round 3 on
+    from dibs_tpu.metrics import expected_cpdag_shd
+
     out = {
         "eshd": float(expected_shd(dist=dist, g=data.g)),
         "auroc": float(threshold_metrics(dist=dist, g=data.g)["roc_auc"]),
+        "cpdag_eshd": float(expected_cpdag_shd(dist=dist, g=jnp.asarray(data.g))),
     }
     if kind == "marginal":
         out["neg_mll"] = float(neg_ave_log_marginal_likelihood(
