@@ -29,7 +29,7 @@ import dibs_tpu.config as config
 from dibs_tpu.inference import JointDiBS
 from dibs_tpu.metrics import expected_shd, threshold_metrics
 from dibs_tpu.target import make_linear_gaussian_model
-from run_benchmarks import config_5, time_steps_per_sec
+from run_benchmarks import config_5
 
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "TRANSPORT_PREC_AB.json")
@@ -45,8 +45,7 @@ def main():
     out = {"arms": {}, "note": "config-5 steps/s + reduced d=20 quality "
                                "per transport matmul precision"}
 
-    key = random.PRNGKey(0)
-    k1, _ = random.split(key)
+    k1, _ = random.split(random.PRNGKey(0))
     data, gm, lm = make_linear_gaussian_model(key=k1, n_vars=20,
                                               graph_prior_str="sf")
 

@@ -13,11 +13,14 @@ Only the *likelihood* matmuls read this knob; the BGe covariance/determinant
 path always runs at ``'highest'``. The SVGD transport has its own knob
 (:func:`set_transport_matmul_precision`, default ``'highest'``) because its
 ``[P, P] @ [P, n]`` driver/repulsion matmuls are ~a quarter of the step at
-production scale (d=128, P=1000) and tolerate reduced precision: the driver
-term weights *stochastic* gradient estimates whose MC noise dwarfs bf16x3
-rounding, and the repulsion term is a kernel-weighted sum of particle
-coordinates. ``'high'`` (bf16x3, ~2^-17 relative) is the measured-safe fast
-setting; see benchmarks/RESULTS.md for the quality/throughput A/B.
+production scale (d=128, P=1000): the driver term weights *stochastic*
+gradient estimates whose MC noise dwarfs bf16x3 rounding. Caveat for the
+repulsion term: ``K^T V − colsum(K) ⊙ V`` is a near-cancelling difference
+when particles cluster (late SVGD), so matmul rounding there is amplified —
+``'default'`` (single-pass bf16, ~2^-9) is experimental for that reason;
+``'high'`` (bf16x3, ~2^-17) is the candidate fast setting. Flip only on
+evidence: ``benchmarks/run_transport_prec_ab.py`` measures throughput and
+d=20 quality per arm.
 """
 from __future__ import annotations
 

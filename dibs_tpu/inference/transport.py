@@ -39,8 +39,10 @@ def _prec():
     """Transport matmul precision — a trace-time config lookup
     (:func:`dibs_tpu.config.transport_matmul_precision`, default HIGHEST).
     At production scale (d=128, P=1000) these two matmul families are ~a
-    quarter of the SVGD step; ``'high'`` (bf16x3) halves their MXU passes
-    with rounding far below the estimators' MC noise floor."""
+    quarter of the SVGD step. ``'high'`` (bf16x3) halves their MXU passes;
+    note the repulsion difference ``K^T V − colsum ⊙ V`` nearly cancels for
+    clustered particles, which amplifies matmul rounding — see the knob's
+    docstring in :mod:`dibs_tpu.config` before lowering it."""
     from dibs_tpu.config import transport_matmul_precision
 
     return transport_matmul_precision()

@@ -143,18 +143,13 @@ def pdag_shd(x, y) -> onp.ndarray:
     Returns:
         ``[...]`` integer SHD array (scalar for single matrices).
     """
-    x = onp.asarray(x, dtype=onp.int8)
-    y = onp.asarray(y, dtype=onp.int8)
-    # encode each ordered pair's status in one comparable matrix:
-    # 0 none, 1 i→j, 2 undirected — built from (a[i,j], a[j,i])
-    def code(a):
-        at = onp.swapaxes(a, -1, -2)
-        return a + (a & at)  # 0 none, 1 directed, 2 undirected
-
-    cx, cy = code(x), code(y)
-    diff = (cx != cy)
-    # each unordered pair contributes at most 1: a mismatch shows up in
-    # one or both ordered entries; OR them via the transpose
-    diff = diff | onp.swapaxes(diff, -1, -2)
-    iu = onp.triu_indices(x.shape[-1], k=1)
-    return diff[..., iu[0], iu[1]].sum(axis=-1)
+    x = onp.asarray(x, dtype=onp.int64)
+    y = onp.asarray(y, dtype=onp.int64)
+    # The reference DAG-SHD formula (metrics.pairwise_structural_hamming_
+    # distance: symmetrize |Δ|, clip, halve) extends verbatim to the PDAG
+    # encoding — case analysis per unordered pair: reversal 1, directed vs
+    # undirected 1, missing vs (un)directed 1, match 0 — so PDAG-SHD reuses
+    # it rather than keeping a second SHD semantics in the codebase.
+    diff = onp.abs(x - y)
+    diff = diff + onp.swapaxes(diff, -1, -2)
+    return onp.minimum(diff, 1).sum(axis=(-2, -1)) // 2
