@@ -28,6 +28,7 @@ if os.environ.get("JAX_PLATFORMS"):
 
 from dibs_tpu.inference import MarginalDiBS
 from dibs_tpu.metrics import (
+    expected_cpdag_shd,
     expected_shd,
     neg_ave_log_marginal_likelihood,
     threshold_metrics,
@@ -62,13 +63,18 @@ def main():
     for name, dist in [("DiBS ", dibs.get_empirical(gs)),
                        ("DiBS+", dibs.get_mixture(gs))]:
         eshd = expected_shd(dist=dist, g=data.g)
+        # observational BGe is identifiable only up to the Markov
+        # equivalence class; the CPDAG-SHD does not charge orientations
+        # the class leaves free
+        cshd = expected_cpdag_shd(dist=dist, g=data.g)
         auroc = threshold_metrics(dist=dist, g=data.g)["roc_auc"]
         negll = neg_ave_log_marginal_likelihood(
             dist=dist,
             eltwise_log_marginal_likelihood=dibs.eltwise_log_marginal_likelihood_observ,
             x=data.x_ho,
         )
-        print(f"{name} |  E-SHD: {float(eshd):5.1f}   AUROC: {auroc:4.2f}  "
+        print(f"{name} |  E-SHD: {float(eshd):5.1f}   "
+              f"E-CPDAG-SHD: {float(cshd):5.1f}   AUROC: {auroc:4.2f}  "
               f"neg. MLL {float(negll):7.2f}")
 
 
