@@ -142,7 +142,10 @@ def linear_step_cost(*, d, n_obs, p, m, kmc=32, k=None) -> StepCost:
     k = k or d
     phases = {}
     fwd = 2.0 * n_obs * d * d  # means matmul per (p, m)
-    phases["fused_forward"] = p * m * (fwd + 4.0 * n_obs * d)
+    # centered scoring: + one reference matmul per particle per pass at
+    # HIGHEST precision (6 Mosaic MXU passes), amortized over the M samples
+    ref = 2.0 * 6.0 * fwd
+    phases["fused_forward"] = p * (m * (fwd + 4.0 * n_obs * d) + ref)
     phases["fused_backward"] = p * m * (2.0 * fwd + 6.0 * d * d)
     samp = _sampling_cost(p, m, d)
     phases["sampling_in_kernel"] = samp["flops"]

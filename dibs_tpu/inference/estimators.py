@@ -603,17 +603,22 @@ def make_estimators(
 
     # --- optional fused Pallas sample-and-score path (LinearGaussian) ---
 
-    def _data_scale_policy(obs_noise):
-        """Scale-gated numerics for the fused kernels: estimate the
-        per-sample |log-likelihood| magnitude N·Σ_j E[x_j²]/(2σ²) and
+    def _data_scale_policy(obs_noise, warn=True):
+        """Scale-gated numerics for the fused *nonlinear* kernel: estimate
+        the per-sample |log-likelihood| magnitude N·Σ_j E[x_j²]/(2σ²) and
         return ``fast_ll`` — True selects the single-pass bf16 scoring
         chain, safe below ``_FAST_LL_MAX`` (the d=20 protocols measure
         1.4e4–9.3e4 there and were parity-validated at that precision);
-        above it the kernels use the 3-pass f32 split. The MC-sample
-        weighting measurably degrades at ~1e7 regardless of matmul
-        precision (AUROC 0.87 -> ~0.75 at 10x data scale — DESIGN.md
-        §11f), so warn from 1e6 up, recommending the standard practice
-        (standardize x) and the kill switch."""
+        above it the kernel uses the 3-pass f32 split. The nonlinear
+        MC-sample weighting measurably degrades at ~1e7 regardless of
+        matmul precision (the [P, M] f32 ll storage itself quantizes —
+        DESIGN.md §11f), so warn from 1e6 up, recommending the standard
+        practice (standardize x) and the kill switch.
+
+        The *linear* kernel no longer consults this: its centered (delta)
+        scoring scheme is scale-invariant by construction (errors track
+        the inter-sample ll spread and the stored lls are per-particle
+        centered — fused_linear.py module comment)."""
         import numpy as _np
 
         from dibs_tpu.inference.fused_linear import _FAST_LL_MAX
@@ -623,13 +628,14 @@ def make_estimators(
             x_host.shape[0] * _np.square(x_host).mean(0).sum()
             / (2.0 * float(obs_noise))
         )
-        if est > 1.0e6:
+        if warn and est > 1.0e6:
             import warnings
 
             warnings.warn(
                 f"data scale puts |log-likelihood| ~ {est:.1e} per sample; "
-                "beyond ~1e6 the fused Pallas kernels' MC-sample weighting "
-                "loses fidelity in f32 (DESIGN.md §11f). Standardize x "
+                "beyond ~1e6 the fused nonlinear Pallas kernel's MC-sample "
+                "weighting loses fidelity in f32 (DESIGN.md §11f). "
+                "Standardize x "
                 "(dibs_tpu.utils.standardize; recommended), or disable the "
                 "fused paths with "
                 "dibs_tpu.config.set_pallas_enabled(False) / "
@@ -708,8 +714,6 @@ def make_estimators(
                     stacklevel=2,
                 )
         else:
-            fast_ll_lin = _data_scale_policy(fused_linear_model.obs_noise)
-
             def fused_grad_both(zs, thetas, t, key,
                                 x=None, interv_mask=None):
                 x_, interv_ = _data(x, interv_mask)
@@ -724,14 +728,13 @@ def make_estimators(
                         key=key, alpha=cfg.alpha(t), tau=cfg.tau,
                         n_samples=cfg.n_grad_mc_samples,
                         model=fused_linear_model, sharding=sharding,
-                        fast_ll=fast_ll_lin,
                     )
                 else:
                     dscores, dtheta = fused_linear_estimators(
                         zs=zs, thetas=thetas, x=x_, interv_mask=interv_,
                         key=key, alpha=cfg.alpha(t), tau=cfg.tau,
                         n_samples=cfg.n_grad_mc_samples,
-                        model=fused_linear_model, fast_ll=fast_ll_lin,
+                        model=fused_linear_model,
                     )
                 # chain d/d scores -> d/dZ:  dU = dS V,  dV = dSᵀ U
                 u, v = zs[..., 0], zs[..., 1]

@@ -77,32 +77,43 @@ _MAX_D = 384
 #                noise, so fewer MXU passes are safe.
 _PREC_LL = jax.lax.Precision.HIGHEST
 _PREC_GRAD = jax.lax.Precision.DEFAULT
-# The forward matmuls use a manual 3-pass bf16 split instead of HIGHEST:
-# Mosaic lowers HIGHEST to 6 MXU passes (and rejects HIGH), while
-# hi*hi + lo*hi + hi*lo reaches ~2^-17 relative error — enough for the
-# gradient residuals (already-softmax-weighted sums; errors act as extra
-# MC noise) and, on standardized-scale data, for the pass-1 lls feeding
-# the softmax weights. On 10x-scale data a residual quality gap vs the
-# XLA path remains (DESIGN.md §11f) that ablations could NOT pin on this
-# matmul: running pass-1 scoring at true f32 (HIGHEST, 2^-24; ~8%
-# throughput cost, toggle below) did not move the seed medians, so the
-# default keeps the 3-pass split and the engine warns on extreme-scale
-# data instead (estimators._advise_extreme_scale).
+# CENTERED (delta) SCORING — the scale-invariance trick (round 3c).
+# The pass-1 lls feed only a per-particle softmax, which is shift-
+# invariant, and the pass-2 residuals are differences against the data.
+# So the kernel scores every MC sample *relative to the expected graph*
+# E[G|Z] = σ(α·s)⊙offdiag: per particle it computes the reference
+# prediction  mean_ref = x @ (E[G]⊙Θ)  ONCE at HIGHEST precision (cost
+# amortized over the M samples), keeps  resid_ref = x − mean_ref, and per
+# sample computes only the delta matmul  D = x @ ((G_m − E[G])⊙Θ)  at
+# fast single-pass precision, with
+#     Δll_m   = −(1/2σ²)·Σ w·D·(D − 2·resid_ref)  +  Σ (G_m−E[G])·logpdf(Θ)
+#     resid_m = (resid_ref − D)·w.
+# Every bf16-truncated operand now carries a *delta* whose magnitude IS
+# the inter-sample spread the softmax weighting depends on, so the
+# truncation error is relative to the signal at any data scale — the
+# previous three-regime precision policy (single-pass gated at |ll|<1e5,
+# 3-pass split, true-f32 ablation) collapses to this one path. The f32
+# *storage* of the [P, M] lls also stops quantizing weights at extreme
+# scale (|ll| ~ 1e7 has 1-nat f32 resolution; centered lls are small) —
+# the residual quality gap the round-3 ablations could not pin on the
+# matmul (DESIGN.md §11f) was exactly this storage quantization.
+# `_ll_dot` and the constants below remain for the *nonlinear* kernel
+# (fused_nonlinear.py), whose post-activation chain has no linear
+# decomposition to center (it keeps the scale-gated 3-pass policy).
 _LL_SPLIT3 = True
-# Pass-1 true-f32 ablation toggle (module-level trace-time constant so
-# experiments can A/B it in one process). Off by default — see above.
-_LL_PASS1_HI = False
-# Scale gate for the single-pass bf16 scoring chain: the estimator factory
-# passes fast_ll=True when the dataset's estimated per-sample
-# |log-likelihood| N·Σ_j E[x_j²]/(2σ²) is below this. 1e5 is the largest
-# magnitude with direct clean evidence (the d=20 parity/quality protocols
-# measure 1.4e4–9.3e4 and were validated at DEFAULT precision for two
-# rounds); the measured failure regime starts at ~1.7e6 (10x scale).
+# Delta-matmul true-f32 ablation toggle (module-level trace-time constant
+# so experiments can A/B it in one process). Off by default.
+_DELTA_HI = False
+# Scale gate for the nonlinear kernel's single-pass bf16 scoring chain
+# (see fused_nonlinear.py / estimators._data_scale_policy). The linear
+# kernel no longer uses it — centered scoring is scale-invariant.
 _FAST_LL_MAX = 1.0e5
 
 
 def _ll_dot(a, b, dims, hi=False, fast=False):
-    """Scoring-chain matmul at one of three precisions:
+    """Scoring-chain matmul at one of three precisions (used by the
+    *nonlinear* kernel's scale-gated policy, and by the linear kernel's
+    once-per-particle reference matmul via ``hi=True``):
 
     * ``fast`` — single DEFAULT-precision pass (Mosaic truncates the f32
       operands to bf16, ~2^-9 relative). Selected per dataset when the
@@ -111,7 +122,7 @@ def _ll_dot(a, b, dims, hi=False, fast=False):
       and quality measurements ran at.
     * default — the 3-pass bf16 split (~2^-17 relative), for large-scale
       data where bf16 truncation drowns the ll differences.
-    * ``hi`` — true f32 (HIGHEST, 6 Mosaic passes); ablation only.
+    * ``hi`` — true f32 (HIGHEST, 6 Mosaic passes).
     """
     if hi or not _LL_SPLIT3:
         return jax.lax.dot_general(a, b, dimension_numbers=dims,
@@ -211,7 +222,7 @@ def _gen_noise(shape):
 
 def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
                  bf16: bool = False, block_m: int = 8,
-                 debug_noise: bool = False, fast_ll: bool = False):
+                 debug_noise: bool = False):
     """Builds the pass-1 (scoring) or pass-2 (gradient) kernel body.
 
     Grid: ``(P,)`` — one cell per particle. Samples are processed
@@ -288,21 +299,30 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
         lane_m = jax.lax.broadcasted_iota(jnp.int32, (bm, m_pad), 1)
         grp_row = jax.lax.broadcasted_iota(jnp.int32, (bm, m_pad), 0)
 
-        log_norm = -0.5 * jnp.log(2.0 * jnp.pi * obs_noise)
-
         # hoist all per-particle transcendentals out of the sample loop:
         #   hard:  1[eps + a s > 0]  ==  1[u < sigmoid(a s)]
         #   soft (tau==1):  sigmoid(eps + a s)  ==  1 / (1 + (1/u - 1) e^{-a s})
         fast_soft = tau == 1.0
-        sig_as_t = tile(jax.nn.sigmoid(alpha * scores))
+        sig_as = jax.nn.sigmoid(alpha * scores)
+        sig_as_t = tile(sig_as)
         if fast_soft:
             exp_neg_t = tile(jnp.exp(-alpha * scores))
         else:
             alpha_scores_t = tile(alpha * scores)
         theta_t = tile(theta)
         logpdf_t = tile(logpdf_theta)
-        x_t = jnp.concatenate([x] * bm, axis=1)  # [Np, wd]
         w_t = jnp.concatenate([w] * bm, axis=1)
+
+        # centered-scoring reference, once per particle at HIGHEST precision
+        # (see module comment): every sample is scored relative to the
+        # expected graph E[G|Z] = σ(α·s)⊙offdiag
+        offdiag = (row != col).astype(jnp.float32)
+        ref_g = sig_as * offdiag
+        ref_g_t = sig_as_t * offdiag_t
+        mean_ref = _ll_dot(x, ref_g * theta, (((1,), (0,)), ((), ())),
+                           hi=True)                       # [Np, d]
+        resid_ref = x - mean_ref                          # [Np, d] unmasked
+        resid_ref_t = jnp.concatenate([resid_ref] * bm, axis=1)  # [Np, wd]
 
         # seed once per particle; both passes draw the same bit stream in the
         # same order, so the sample replay stays exact
@@ -314,23 +334,28 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
             return a.astype(jnp.bfloat16) if bf16 else a
 
         def group_score(g_t):
-            """g_t: [d, wd] wide graphs -> (ll [1, bm], resid [Np, wd]).
+            """g_t: [d, wd] wide graphs -> (Δll [1, bm], resid [Np, wd]).
 
-            Pass 1 consumes the ll (softmax weights — precision per
-            _ll_dot's scale-gated policy); pass 2 consumes only resid
-            (gradient noise; its unused ll chain is dead code the
-            compiler drops)."""
-            w_wide = g_t * theta_t
-            means = _ll_dot(cast(x), cast(w_wide),
-                             (((1,), (0,)), ((), ())),
-                             hi=_LL_PASS1_HI and not pass2,
-                             fast=fast_ll)  # [Np, wd]
-            resid = (x_t - means) * w_t
+            Centered scoring (module comment): only the delta matmul
+            against the per-particle reference runs per sample, at fast
+            single-pass precision — its operand magnitudes ARE the
+            inter-sample spread, so truncation error stays relative to
+            the signal at any data scale. Pass 1 consumes the Δll
+            (softmax weights are shift-invariant per particle, so the
+            dropped ll_ref and the constant Σw·log_norm never matter);
+            pass 2 consumes only resid (its unused Δll chain is dead
+            code the compiler drops)."""
+            dg_t = g_t - ref_g_t
+            delta = _ll_dot(cast(x), cast(dg_t * theta_t),
+                            (((1,), (0,)), ((), ())),
+                            hi=_DELTA_HI, fast=True)  # [Np, wd]
+            resid = (resid_ref_t - delta) * w_t
             per_lane = jnp.sum(
-                w_t * (-0.5 * inv_var * resid * resid + log_norm),
+                w_t * (-0.5 * inv_var) * delta
+                * (delta - 2.0 * resid_ref_t),
                 axis=0, keepdims=True,
             )                                                    # [1, wd]
-            prior_lane = jnp.sum(g_t * logpdf_t, axis=0, keepdims=True)
+            prior_lane = jnp.sum(dg_t * logpdf_t, axis=0, keepdims=True)
             ll = jnp.dot(per_lane + prior_lane, b_mat,
                          preferred_element_type=jnp.float32,
                          precision=_PREC_LL)     # [1, bm]
@@ -443,16 +468,15 @@ def _particle_specs(d, extra_pass2, n_pad):
 @functools.partial(
     jax.jit,
     static_argnames=("n_samples", "bm", "tau", "obs_noise", "interpret",
-                     "bf16", "fast_ll"),
+                     "bf16"),
 )
 def _fused_pass1(seed, alpha, scores, theta, logpdf_theta, x_pad, w_pad,
                  noise=None, *, n_samples, bm, tau, obs_noise,
-                 interpret=False, bf16=False, fast_ll=False):
+                 interpret=False, bf16=False):
     p, d, _ = scores.shape
     n_pad = x_pad.shape[0]
     kernel = _make_kernel(n_samples, tau, obs_noise, pass2=False, bf16=bf16,
-                          block_m=bm, debug_noise=noise is not None,
-                          fast_ll=fast_ll)
+                          block_m=bm, debug_noise=noise is not None)
     m_pad = _round_up(n_samples, _LANE)
     out_shape = [
         jax.ShapeDtypeStruct((p, 1, m_pad), jnp.float32),
@@ -485,12 +509,11 @@ def _fused_pass1(seed, alpha, scores, theta, logpdf_theta, x_pad, w_pad,
 @functools.partial(
     jax.jit,
     static_argnames=("n_samples", "n_real", "bm", "tau", "obs_noise",
-                     "interpret", "bf16", "fast_ll"),
+                     "interpret", "bf16"),
 )
 def _fused_pass2(seed, alpha, scores, theta, logpdf_theta, dprior_theta,
                  x_pad, w_pad, w_soft, w_hard, noise=None, *, n_samples,
-                 n_real, bm, tau, obs_noise, interpret=False, bf16=False,
-                 fast_ll=False):
+                 n_real, bm, tau, obs_noise, interpret=False, bf16=False):
     p, d, _ = scores.shape
     n_pad = x_pad.shape[0]
     m_pad = _round_up(n_samples, _LANE)
@@ -503,8 +526,7 @@ def _fused_pass2(seed, alpha, scores, theta, logpdf_theta, dprior_theta,
         w_hard
     )
     kernel = _make_kernel(n_samples, tau, obs_noise, pass2=True, bf16=bf16,
-                          block_m=bm, debug_noise=noise is not None,
-                          fast_ll=fast_ll)
+                          block_m=bm, debug_noise=noise is not None)
     in_specs = _particle_specs(d, True, n_pad) + [
         pl.BlockSpec((1, 1, m_pad), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -537,7 +559,6 @@ def _fused_pass2(seed, alpha, scores, theta, logpdf_theta, dprior_theta,
 def fused_linear_estimators(
     *, zs, thetas, x, interv_mask, key, alpha, tau, n_samples, model,
     bf16: bool = False, seed_offset=0, interpret=False, debug_noise=None,
-    fast_ll: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Computes ``(d scores [P, d, d], d theta [P, d, d])`` — the fused
     Z-likelihood (reparam) and Θ-likelihood MC estimates for
@@ -591,7 +612,6 @@ def fused_linear_estimators(
         debug_noise,
         n_samples=m_total, bm=bm, tau=float(tau),
         obs_noise=float(model.obs_noise), bf16=bf16, interpret=interpret,
-        fast_ll=fast_ll,
     )
     l_soft = l_soft[:, :n_samples]
     l_hard = l_hard[:, :n_samples]
@@ -603,7 +623,6 @@ def fused_linear_estimators(
         x_pad, w_pad, w_soft, w_hard, debug_noise,
         n_samples=m_total, n_real=n_samples, bm=bm, tau=float(tau),
         obs_noise=float(model.obs_noise), bf16=bf16, interpret=interpret,
-        fast_ll=fast_ll,
     )
     if dp != d:
         dscores = dscores[:, :d, :d]

@@ -151,7 +151,7 @@ def sharded_se_matrix(x, y, h: float, scale: float, *,
 
 def sharded_fused_linear(*, zs, thetas, x, interv_mask, key, alpha, tau,
                          n_samples, model, sharding: NamedSharding,
-                         bf16: bool = False, fast_ll: bool = False):
+                         bf16: bool = False):
     """Runs the fused linear-Gaussian sample-and-score estimator per shard.
 
     The whole two-pass scheme (scoring pass, per-particle softmax, gradient
@@ -170,7 +170,7 @@ def sharded_fused_linear(*, zs, thetas, x, interv_mask, key, alpha, tau,
         return fused_linear_estimators(
             zs=zs_blk, thetas=thetas_blk, x=x_, interv_mask=interv_,
             key=key_, alpha=alpha_, tau=tau, n_samples=n_samples, model=model,
-            bf16=bf16, seed_offset=offset, fast_ll=fast_ll,
+            bf16=bf16, seed_offset=offset,
         )
 
     fn = shard_map(

@@ -66,9 +66,11 @@ def test_pallas_kill_switch():
 
 
 def test_extreme_scale_advisory():
-    """The fused paths warn once |log-likelihood| magnitudes reach the
-    measured degradation regime (DESIGN.md 11f), and stay silent on
-    standard-scale data."""
+    """The fused *nonlinear* path warns once |log-likelihood| magnitudes
+    reach the measured degradation regime (DESIGN.md 11f) and stays silent
+    on standard-scale data. The *linear* path must stay silent at any
+    scale: its centered (delta) scoring scheme is scale-invariant
+    (fused_linear.py module comment; benchmarks/CENTERED_AB.json)."""
     import warnings
 
     import jax.numpy as jnp
@@ -78,23 +80,26 @@ def test_extreme_scale_advisory():
 
     import dibs_tpu.config as config
     from dibs_tpu.inference.estimators import EstimatorConfig, make_estimators
-    from dibs_tpu.models import LinearGaussian
+    from dibs_tpu.models import DenseNonlinearGaussian, LinearGaussian
 
     d = 6
     lm = LinearGaussian(n_vars=d)
+    nl = DenseNonlinearGaussian(n_vars=d, hidden_layers=(5,))
     x_small = random.normal(random.PRNGKey(0), (50, d))
     x_big = x_small * 100.0
     cfg = EstimatorConfig(alpha_linear=0.2, n_grad_mc_samples=4,
                           grad_estimator_z="reparam")
 
-    def build(x):
+    def build(x, **models):
+        log_joint = models.get(
+            "fused_nonlinear_model", lm).interventional_log_joint_prob
         return make_estimators(
             cfg=cfg,
             log_graph_prior=lambda soft_g: jnp.array(0.0),
-            log_joint_prob=lm.interventional_log_joint_prob,
+            log_joint_prob=log_joint,
             x=x,
             interv_mask=jnp.zeros_like(x, dtype=jnp.int32),
-            fused_linear_model=lm,
+            **models,
         )
 
     est_mag = 50 * float(onp.square(onp.asarray(x_big)).mean(0).sum()) / (
@@ -107,9 +112,10 @@ def test_extreme_scale_advisory():
         # (the kernel itself is never executed at trace time here)
         config.set_pallas_enabled(True)
         with _pytest.warns(UserWarning, match="log-likelihood"):
-            build(x_big)
+            build(x_big, fused_nonlinear_model=nl)
         with warnings.catch_warnings():
             warnings.simplefilter("error")
-            build(x_small)  # must NOT warn at standard scale
+            build(x_small, fused_nonlinear_model=nl)  # silent at std scale
+            build(x_big, fused_linear_model=lm)  # linear: silent at ANY scale
     finally:
         config.set_pallas_enabled(None)

@@ -193,37 +193,89 @@ def test_uniform_clamp_prevents_fast_soft_nan():
 
 
 @pytest.mark.heavy
-def test_fast_ll_plumbing_matches_exact_on_cpu():
-    """fast_ll only changes the matmul algorithm on hardware (single
-    bf16-truncated MXU pass vs the 3-pass split); in CPU interpret mode both
-    are plain f32 dots, so the outputs must agree to f32 roundoff. Guards
-    the static-arg plumbing through both passes."""
-    d, p, m, alpha, tau = 6, 2, 12, 1.7, 1.0
-    n_obs = 10
+def test_centered_scoring_survives_extreme_data_scale():
+    """The centered (delta) scoring scheme is the reason the fused linear
+    kernel is scale-invariant: at data scale ~300 the absolute lls reach
+    ~3e7 nats, where plain-f32 storage has multi-nat resolution and a
+    direct (uncentered) f32 scoring chain corrupts the softmax weights.
+    Compare the fused gradients (interpret mode, injected noise) against
+    a closed-form float64 reference of the self-normalized estimators —
+    only the centered scheme keeps the error small here."""
+    import numpy as np
+
+    d, p, m, alpha, tau = 6, 2, 20, 1.7, 1.0
+    n_obs = 12
+    scale = 300.0
     key = random.PRNGKey(3)
     model = LinearGaussian(n_vars=d, obs_noise=0.1)
     k1, k2, k3, k4 = random.split(key, 4)
     thetas = model.sample_parameters(key=k1, n_vars=d, n_particles=p)
-    x = random.normal(k2, (n_obs, d))
+    x = random.normal(k2, (n_obs, d)) * scale
     interv = (random.uniform(k3, x.shape) < 0.2).astype(jnp.int32)
+    w = 1.0 - interv.astype(jnp.float32)
     zs = 0.7 * random.normal(k4, (p, d, d, 2))
 
     dp, bm, m_total = _pad_plan(d, m)
     n_groups = m_total // bm
+    wd = bm * dp
     uniforms = random.uniform(
-        random.PRNGKey(11), (p, 2, n_groups * dp, bm * dp),
+        random.PRNGKey(11), (p, 2, n_groups * dp, wd),
         minval=1e-4, maxval=1.0 - 1e-4)
 
-    kw = dict(zs=zs, thetas=thetas, x=x, interv_mask=interv,
-              key=random.PRNGKey(7), alpha=alpha, tau=tau, n_samples=m,
-              model=model, interpret=True, debug_noise=uniforms)
-    ds_f, dt_f = fused_linear_estimators(fast_ll=True, **kw)
-    ds_e, dt_e = fused_linear_estimators(fast_ll=False, **kw)
+    dscores, dtheta = fused_linear_estimators(
+        zs=zs, thetas=thetas, x=x, interv_mask=interv,
+        key=random.PRNGKey(7), alpha=alpha, tau=tau, n_samples=m,
+        model=model, interpret=True, debug_noise=uniforms)
 
-    def max_rel(a, b):
-        return float(jnp.abs(a - b).max() / jnp.abs(b).max())
+    # float64 closed-form reference (per-sample grads weighted by the
+    # f64 softmax of the exact lls)
+    scores = np.asarray(edge_scores(zs), np.float64)
+    x64 = np.asarray(x, np.float64)
+    w64 = np.asarray(w, np.float64)
+    th64 = np.asarray(thetas, np.float64)
+    u64 = np.asarray(uniforms, np.float64)
+    offdiag = 1.0 - np.eye(d)
+    inv_var = 1.0 / model.obs_noise
+    logpdf = (-0.5 * ((th64 - model.mean_edge) / model.sig_edge) ** 2
+              - np.log(model.sig_edge) - 0.5 * np.log(2.0 * np.pi))
+    dprior = (model.mean_edge - th64) / model.sig_edge**2
 
-    # split-3 quantizes operands to bf16 pieces even in interpret mode, so
-    # the two differ by its ~2^-17 algorithm error (measured ~2e-6 here)
-    assert max_rel(ds_f, ds_e) < 1e-4
-    assert max_rel(dt_f, dt_e) < 1e-4
+    def blk(pp, which, mm):
+        grp, mloc = mm // bm, mm % bm
+        return u64[pp, which, grp * dp:(grp + 1) * dp,
+                   mloc * dp:(mloc + 1) * dp][:d, :d]
+
+    for pp in range(p):
+        g_soft, g_hard, lls, llh = [], [], [], []
+        for mm in range(m):
+            u0, u1 = blk(pp, 0, mm), blk(pp, 1, mm)
+            eps = np.log(u0) - np.log1p(-u0)
+            gs = offdiag / (1.0 + np.exp(-tau * (eps + alpha * scores[pp])))
+            gh = (u1 < 1.0 / (1.0 + np.exp(-alpha * scores[pp]))) * offdiag
+
+            def ll(g):
+                resid = (x64 - x64 @ (g * th64[pp])) * w64
+                return (np.sum(w64 * (-0.5 * inv_var) * resid**2)
+                        + np.sum(g * logpdf[pp]))
+
+            g_soft.append(gs), g_hard.append(gh)
+            lls.append(ll(gs)), llh.append(ll(gh))
+        ws = np.exp(lls - np.max(lls)) / np.sum(np.exp(lls - np.max(lls)))
+        wh = np.exp(llh - np.max(llh)) / np.sum(np.exp(llh - np.max(llh)))
+        ds_ref = np.zeros((d, d))
+        dt_ref = np.zeros((d, d))
+        for mm in range(m):
+            gs, gh = g_soft[mm], g_hard[mm]
+            dW_s = inv_var * x64.T @ ((x64 - x64 @ (gs * th64[pp]))
+                                      * w64)
+            ds_ref += ws[mm] * (tau * alpha * gs * (1.0 - gs)
+                                * (th64[pp] * dW_s + logpdf[pp]))
+            dW_h = inv_var * x64.T @ ((x64 - x64 @ (gh * th64[pp]))
+                                      * w64)
+            dt_ref += wh[mm] * (gh * (dW_h + dprior[pp]))
+        ds_tol = 2e-3 * max(1.0, float(np.abs(ds_ref).max()))
+        dt_tol = 2e-3 * max(1.0, float(np.abs(dt_ref).max()))
+        assert np.abs(np.asarray(dscores[pp], np.float64) - ds_ref).max() \
+            < ds_tol
+        assert np.abs(np.asarray(dtheta[pp], np.float64) - dt_ref).max() \
+            < dt_tol
