@@ -199,7 +199,11 @@ def nonlinear_step_cost(*, d, n_obs, p, m, hidden=(5,), kmc=32,
         # 4*h1 wide matmuls (soft/hard x fwd/bwd) over the padded shapes +
         # masking/epilogue elementwise
         mm = 4.0 * h1 * 2.0 * n_pad * dp * dp  # per sample
-        phases["fused_single_pass"] = p * m * (mm + 10.0 * dp * dp * h1)
+        # centered scoring: + h1 reference matmuls per particle at HIGHEST
+        # (6 MXU passes), amortized over the M samples
+        ref = 6.0 * h1 * 2.0 * n_pad * dp * dp
+        phases["fused_single_pass"] = p * (m * (mm + 10.0 * dp * dp * h1)
+                                           + ref)
         phases["in_kernel_sampling"] = samp["flops"]
         bytes_core = 4.0 * (
             p * (dp * dp * (2 + h1) + 3 * h1 * dp)  # params in, grads out

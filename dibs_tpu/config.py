@@ -11,16 +11,19 @@ few likelihood decimals for throughput on large configs:
 
 Only the *likelihood* matmuls read this knob; the BGe covariance/determinant
 path always runs at ``'highest'``. The SVGD transport has its own knob
-(:func:`set_transport_matmul_precision`, default ``'highest'``) because its
+(:func:`set_transport_matmul_precision`, default ``'high'``) because its
 ``[P, P] @ [P, n]`` driver/repulsion matmuls are ~a quarter of the step at
 production scale (d=128, P=1000): the driver term weights *stochastic*
-gradient estimates whose MC noise dwarfs bf16x3 rounding. Caveat for the
-repulsion term: ``K^T V − colsum(K) ⊙ V`` is a near-cancelling difference
-when particles cluster (late SVGD), so matmul rounding there is amplified —
-``'default'`` (single-pass bf16, ~2^-9) is experimental for that reason;
-``'high'`` (bf16x3, ~2^-17) is the candidate fast setting. Flip only on
-evidence: ``benchmarks/run_transport_prec_ab.py`` measures throughput and
-d=20 quality per arm.
+gradient estimates whose MC noise dwarfs bf16x3 rounding. Measured A/B
+(``benchmarks/TRANSPORT_PREC_AB.json``: config-5 steps/s + reduced d=20
+quality, 3 seeds per arm): ``highest`` 17.8, ``high`` 18.7, ``default``
+19.8 steps/s with AUROC statistically identical across arms
+(0.954–0.966 everywhere) — so the default is ``'high'`` (bf16x3,
+~2^-17, quality-transparent with margin). ``'default'`` (single-pass
+bf16, ~2^-9) measured clean too but stays opt-in: the repulsion term
+``K^T V − colsum(K) ⊙ V`` is a near-cancelling difference when particles
+cluster (late SVGD), and the reduced 800-step protocol does not stress
+that regime.
 """
 from __future__ import annotations
 
@@ -51,7 +54,7 @@ def likelihood_matmul_precision():
     return _likelihood_matmul_precision
 
 
-_transport_matmul_precision = jax.lax.Precision.HIGHEST
+_transport_matmul_precision = jax.lax.Precision.HIGH
 
 
 def set_transport_matmul_precision(p) -> None:

@@ -604,21 +604,17 @@ def make_estimators(
     # --- optional fused Pallas sample-and-score path (LinearGaussian) ---
 
     def _data_scale_policy(obs_noise, warn=True):
-        """Scale-gated numerics for the fused *nonlinear* kernel: estimate
+        """Extreme-data-scale advisory for the *nonlinear* model: estimate
         the per-sample |log-likelihood| magnitude N·Σ_j E[x_j²]/(2σ²) and
-        return ``fast_ll`` — True selects the single-pass bf16 scoring
-        chain, safe below ``_FAST_LL_MAX`` (the d=20 protocols measure
-        1.4e4–9.3e4 there and were parity-validated at that precision);
-        above it the kernel uses the 3-pass f32 split. The nonlinear
-        MC-sample weighting measurably degrades at ~1e7 regardless of
-        matmul precision (the [P, M] f32 ll storage itself quantizes —
-        DESIGN.md §11f), so warn from 1e6 up, recommending the standard
-        practice (standardize x) and the kill switch.
-
-        The *linear* kernel no longer consults this: its centered (delta)
-        scoring scheme is scale-invariant by construction (errors track
-        the inter-sample ll spread and the stored lls are per-particle
-        centered — fused_linear.py module comment)."""
+        warn from 1e6 up, recommending the standard practice (standardize
+        x) and the kill switch. Both fused kernels use centered (delta)
+        scoring and track the exact XLA estimators at any scale
+        (DESIGN.md §11g) — but on heavily unstandardized data the
+        nonlinear *model itself* stops resolving structure (an MLP must
+        inflate its N(0, σ_p²)-prior weights to track scaled data; both
+        fused and XLA arms collapse identically at 10x —
+        benchmarks/CENTERED_NL_AB.json), hence the advisory. The linear
+        SEM is scale-covariant and needs no warning."""
         import numpy as _np
 
         from dibs_tpu.inference.fused_linear import _FAST_LL_MAX
@@ -633,16 +629,16 @@ def make_estimators(
 
             warnings.warn(
                 f"data scale puts |log-likelihood| ~ {est:.1e} per sample; "
-                "beyond ~1e6 the fused nonlinear Pallas kernel's MC-sample "
-                "weighting loses fidelity in f32 (DESIGN.md §11f). "
-                "Standardize x "
+                "beyond ~1e6 the nonlinear model stops resolving structure "
+                "on unstandardized data regardless of estimator "
+                "(DESIGN.md §11g). Standardize x "
                 "(dibs_tpu.utils.standardize; recommended), or disable the "
                 "fused paths with "
                 "dibs_tpu.config.set_pallas_enabled(False) / "
                 "DIBS_DISABLE_PALLAS=1 to keep the exact XLA estimators.",
                 stacklevel=3,
             )
-        return est <= _FAST_LL_MAX
+        return est <= _FAST_LL_MAX  # kept for tests/diagnostics
 
     fused_grad_both = None
     if fused_sample_sharing is not None and cfg.grad_estimator_z == "reparam":
@@ -664,7 +660,7 @@ def make_estimators(
         if fused_nonlinear_available(fused_nonlinear_model,
                                      n_obs=x.shape[0]):
             model_nl = fused_nonlinear_model
-            fast_ll_nl = _data_scale_policy(model_nl.obs_noise)
+            _data_scale_policy(model_nl.obs_noise)  # advisory only
 
             def fused_grad_both(zs, thetas, t, key,  # noqa: F811
                                 x=None, interv_mask=None):
@@ -680,14 +676,13 @@ def make_estimators(
                         zs=zs, thetas=thetas, x=x_, interv_mask=interv_,
                         key=key, alpha=cfg.alpha(t), tau=cfg.tau,
                         n_samples=cfg.n_grad_mc_samples, model=model_nl,
-                        sharding=sharding, fast_ll=fast_ll_nl,
+                        sharding=sharding,
                     )
                 else:
                     dscores, dtheta = fused_nonlinear_estimators(
                         zs=zs, thetas=thetas, x=x_, interv_mask=interv_,
                         key=key, alpha=cfg.alpha(t), tau=cfg.tau,
                         n_samples=cfg.n_grad_mc_samples, model=model_nl,
-                        fast_ll=fast_ll_nl,
                     )
                 # chain d/d scores -> d/dZ:  dU = dS V,  dV = dSᵀ U
                 u, v = zs[..., 0], zs[..., 1]

@@ -97,16 +97,17 @@ _PREC_GRAD = jax.lax.Precision.DEFAULT
 # scale (|ll| ~ 1e7 has 1-nat f32 resolution; centered lls are small) —
 # the residual quality gap the round-3 ablations could not pin on the
 # matmul (DESIGN.md §11f) was exactly this storage quantization.
-# `_ll_dot` and the constants below remain for the *nonlinear* kernel
-# (fused_nonlinear.py), whose post-activation chain has no linear
-# decomposition to center (it keeps the scale-gated 3-pass policy).
+# `_ll_dot` also serves the *nonlinear* kernel (fused_nonlinear.py),
+# which centers its first layer the same way (linear in the parent mask).
 _LL_SPLIT3 = True
 # Delta-matmul true-f32 ablation toggle (module-level trace-time constant
 # so experiments can A/B it in one process). Off by default.
 _DELTA_HI = False
-# Scale gate for the nonlinear kernel's single-pass bf16 scoring chain
-# (see fused_nonlinear.py / estimators._data_scale_policy). The linear
-# kernel no longer uses it — centered scoring is scale-invariant.
+# Threshold for the estimator factory's extreme-data-scale advisory
+# (estimators._data_scale_policy): beyond ~10x this, the *nonlinear
+# model* itself stops resolving structure on unstandardized data
+# (CENTERED_NL_AB.json — a model-fit property, not kernel precision;
+# both fused and exact-XLA arms collapse identically there).
 _FAST_LL_MAX = 1.0e5
 
 

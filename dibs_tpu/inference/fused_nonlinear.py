@@ -43,6 +43,27 @@ depends on the hard sample and stays in-kernel.
 
 Only the per-particle log-likelihood *differences* matter (softmax is
 shift-invariant), so constant prior terms are dropped from the streams.
+
+CENTERED (delta) SCORING — scale invariance (round 3c, mirrors
+fused_linear.py). The first layer is linear in the parent mask
+(``pre = x @ (g[:,j] ⊙ W1)``), so the kernel runs one reference forward
+per particle at HIGHEST precision against the expected graph
+``E[G|Z] = σ(α·s)⊙offdiag`` and per sample computes only the
+first-layer delta matmul ``D_h = x @ ((G_m − E[G]) ⊙ W1_h)`` at fast
+single-pass precision. Activation differences are then formed stably
+(for relu, ``relu(p+D) − relu(p) = where(p ≥ 0, max(D, −p), max(p+D, 0))``
+— no cancellation against the large reference pre-activation; bounded
+activations use the plain difference, whose absolute error is already
+tiny), giving the mean difference ``Δmean = Σ_h actdiff_h · W2_h`` and
+
+    Δll   = −(1/2σ²)·Σ w·Δmean·(Δmean − 2·resid_ref)  +  Σ (G−E[G])·L1
+    resid = (resid_ref − Δmean)·w
+
+so both the MXU truncation and the f32 storage of the online-softmax
+stream values stay relative to the inter-sample spread at any data
+scale. Absolute pre-activations/activations (reference + delta) are
+still materialized for the gradient chain (``act'(pre)``, ``dW2``),
+where absolute f32 precision is sufficient.
 """
 from __future__ import annotations
 
@@ -89,14 +110,36 @@ _ACTS = {
 }
 
 
+def _relu_diff(p, delta):
+    """``relu(p + delta) − relu(p)`` without forming the (possibly huge)
+    operands: exact case analysis, so no cancellation against ``p``."""
+    return jnp.where(p >= 0.0, jnp.maximum(delta, -p),
+                     jnp.maximum(p + delta, 0.0))
+
+
+# act(p + D) − act(p), computed stably. relu (the reference default) gets
+# the exact branch form; bounded activations (tanh/sigmoid) use the plain
+# difference — their values are O(1), so the absolute error of the
+# difference is already ~2^-24 regardless of |p|. leakyrelu is piecewise
+# linear with slope >= 0.01, same argument up to 100x.
+_ACT_DIFFS = {
+    "relu": _relu_diff,
+    "tanh": lambda p, d: jnp.tanh(p + d) - jnp.tanh(p),
+    "sigmoid": lambda p, d: jax.nn.sigmoid(p + d) - jax.nn.sigmoid(p),
+    "leakyrelu": lambda p, d: (jnp.where(p + d > 0.0, p + d, 0.01 * (p + d))
+                               - jnp.where(p > 0.0, p, 0.01 * p)),
+}
+
+
 def fused_nonlinear_available(model, n_obs: int = 0) -> bool:
     """True when the fused kernel supports this model on this backend.
 
     ``n_obs`` (when known) enters a VMEM budget check: the kernel keeps
-    ~``(4 h1 + 8)`` live ``[N_pad, bm*dp]`` f32 buffers per group (both
-    streams' pre-activations/activations + data tiles); past ~12 MB the
-    Mosaic compile would fail opaquely, so the gate declines and the
-    engine falls back to the XLA estimators.
+    ~``(6 h1 + 10)`` live ``[N_pad, bm*dp]`` f32 buffers per group (both
+    streams' pre-activations/activations, the centered-scoring reference
+    pre/act/residual tiles, and data tiles); past ~12 MB the Mosaic
+    compile would fail opaquely, so the gate declines and the engine
+    falls back to the XLA estimators.
     """
     from dibs_tpu.ops.pallas_kernels import pallas_enabled
 
@@ -112,7 +155,7 @@ def fused_nonlinear_available(model, n_obs: int = 0) -> bool:
         dp, bm, _ = _pad_plan_nl(model.n_vars, 1)
         n_pad = _round_up(max(n_obs, _SUB), _SUB)
         h1 = model.hidden_layers[0]
-        live = (4 * h1 + 8) * n_pad * bm * dp * 4
+        live = (6 * h1 + 10) * n_pad * bm * dp * 4
         ok = live <= 12 * 1024 * 1024
     return ok
 
@@ -149,12 +192,12 @@ def _gen_uniform(shape):
 
 def _make_nl_kernel(*, n_samples: int, m_total: int, bm: int, h1: int,
                     tau: float, obs_noise: float, sig_param: float,
-                    activation: str, debug_noise: bool,
-                    fast_ll: bool = False):
+                    activation: str, debug_noise: bool):
     """Kernel body. Grid ``(P,)``; one cell = one particle, all samples."""
     inv_var = 1.0 / obs_noise
     inv_varp = 1.0 / (sig_param * sig_param)
     act, dact = _ACTS[activation]
+    act_diff = _ACT_DIFFS[activation]
     n_groups = m_total // bm
     fast_soft = tau == 1.0
 
@@ -199,21 +242,40 @@ def _make_nl_kernel(*, n_samples: int, m_total: int, bm: int, h1: int,
         sample_b = jax.lax.broadcasted_iota(jnp.int32, (wd, bm), 1)
         b_mat = (lanes_w_b // dp == sample_b).astype(jnp.float32)
 
-        sig_as_t = tile(jax.nn.sigmoid(alpha * scores))
+        sig_as = jax.nn.sigmoid(alpha * scores)
+        sig_as_t = tile(sig_as)
         if fast_soft:
             exp_neg_t = tile(jnp.exp(-alpha * scores))
         else:
             alpha_scores_t = tile(alpha * scores)
         l1_t = tile(l1)
-        x_t = jnp.concatenate([x] * bm, axis=1)   # [Np, wd]
         w_t = jnp.concatenate([wobs] * bm, axis=1)
         w1_t = [tile(w1[hh]) for hh in range(h1)]         # [dp, wd] each
-        b1_t = [tile(b1[hh:hh + 1, :]) for hh in range(h1)]  # [1, wd]
         w2_t = [tile(w2[hh:hh + 1, :]) for hh in range(h1)]
-        b2_t = tile(w2[h1:h1 + 1, :])                     # [1, wd]
         dprior_w1_t = [-inv_varp * a for a in w1_t]
 
-        log_norm = -0.5 * jnp.log(2.0 * jnp.pi * obs_noise)
+        # centered-scoring reference forward, once per particle at HIGHEST
+        # precision (module comment): expected graph E[G|Z] = σ(α·s)⊙offdiag
+        offdiag_sm = (row != col).astype(jnp.float32)
+        ref_g = sig_as * offdiag_sm
+        ref_g_t = sig_as_t * offdiag_t
+
+        def tile_n(a):
+            """[Np, dp] -> [Np, wd] by lane-concatenating bm copies."""
+            return jnp.concatenate([a] * bm, axis=1)
+
+        is_relu = activation == "relu"
+        mean_ref = jnp.broadcast_to(w2[h1:h1 + 1, :], x.shape)  # b2 term
+        pre_ref_t, act_ref_t = [], []
+        for hh in range(h1):
+            pre_r = _ll_dot(x, ref_g * w1[hh], (((1,), (0,)), ((), ())),
+                            hi=True) + b1[hh:hh + 1, :]     # [Np, dp]
+            a_r = act(pre_r)
+            mean_ref = mean_ref + a_r * w2[hh:hh + 1, :]
+            pre_ref_t.append(tile_n(pre_r))
+            if not is_relu:   # relu reconstructs act directly from pre
+                act_ref_t.append(tile_n(a_r))
+        resid_ref_t = tile_n(x - mean_ref)                  # [Np, wd]
 
         # per-group sample validity (padded samples masked out of softmax)
         sample_iota = jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
@@ -232,22 +294,39 @@ def _make_nl_kernel(*, n_samples: int, m_total: int, bm: int, h1: int,
         neg_big = jnp.float32(-3.0e38)
 
         def forward(g_t):
-            """g_t [dp, wd] -> (ll [1, wd], δ [Np, wd], pre list, a list)."""
+            """g_t [dp, wd] -> (Δll [1, wd], δ [Np, wd], pre list, a list).
+
+            Centered scoring (module comment): per sample only the
+            first-layer delta matmul runs, at fast single-pass precision;
+            activation differences are formed stably against the
+            reference, and the Δll/residual carry inter-sample-spread
+            magnitudes at any data scale. Absolute pre/act (reference +
+            delta) feed the gradient chain."""
+            dg_t = g_t - ref_g_t
             pres, acts_ = [], []
-            mean = jnp.broadcast_to(b2_t, x_t.shape)
+            mean_diff = jnp.float32(0.0)   # b2 cancels against the ref
             for hh in range(h1):
-                wmask = g_t * w1_t[hh]
-                pre = _ll_dot(x, wmask, (((1,), (0,)), ((), ())),
-                              fast=fast_ll)
-                pre = pre + b1_t[hh]
-                a = act(pre)
+                d_pre = _ll_dot(x, dg_t * w1_t[hh],
+                                (((1,), (0,)), ((), ())), fast=True)
+                pre = pre_ref_t[hh] + d_pre
+                if is_relu:
+                    # stable a_diff reuses pre: relu(p+D) − relu(p)
+                    a = jnp.maximum(pre, 0.0)
+                    a_diff = jnp.where(pre_ref_t[hh] >= 0.0,
+                                       jnp.maximum(d_pre, -pre_ref_t[hh]), a)
+                else:
+                    a_diff = act_diff(pre_ref_t[hh], d_pre)
+                    a = act_ref_t[hh] + a_diff
                 pres.append(pre)
                 acts_.append(a)
-                mean = mean + a * w2_t[hh]
-            resid = (x_t - mean) * w_t
-            ll = jnp.sum(w_t * (-0.5 * inv_var * resid * resid + log_norm),
-                         axis=0, keepdims=True)
-            ll = ll + jnp.sum(g_t * l1_t, axis=0, keepdims=True)
+                mean_diff = mean_diff + a_diff * w2_t[hh]
+            resid = (resid_ref_t - mean_diff) * w_t
+            ll = jnp.sum(
+                w_t * (-0.5 * inv_var) * mean_diff
+                * (mean_diff - 2.0 * resid_ref_t),
+                axis=0, keepdims=True,
+            )
+            ll = ll + jnp.sum(dg_t * l1_t, axis=0, keepdims=True)
             delta = inv_var * resid
             return ll, delta, pres, acts_
 
@@ -373,18 +452,18 @@ def _make_nl_kernel(*, n_samples: int, m_total: int, bm: int, h1: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_samples", "m_total", "bm", "h1", "tau", "obs_noise",
-                     "sig_param", "activation", "interpret", "fast_ll"),
+                     "sig_param", "activation", "interpret"),
 )
 def _fused_nl_call(seed, alpha, scores, w1t, l1, b1t, w2t, x_pad, w_pad,
                    noise, *, n_samples, m_total, bm, h1, tau, obs_noise,
-                   sig_param, activation, interpret=False, fast_ll=False):
+                   sig_param, activation, interpret=False):
     p, dp, _ = scores.shape
     n_pad = x_pad.shape[0]
     debug_noise = noise is not None
     kernel = _make_nl_kernel(
         n_samples=n_samples, m_total=m_total, bm=bm, h1=h1, tau=tau,
         obs_noise=obs_noise, sig_param=sig_param, activation=activation,
-        debug_noise=debug_noise, fast_ll=fast_ll,
+        debug_noise=debug_noise,
     )
     smem = lambda: pl.BlockSpec((1, 1), lambda i: (0, 0),
                                 memory_space=pltpu.SMEM)
@@ -439,7 +518,7 @@ def _fused_nl_call(seed, alpha, scores, w1t, l1, b1t, w2t, x_pad, w_pad,
 
 def fused_nonlinear_estimators(
     *, zs, thetas, x, interv_mask, key, alpha, tau, n_samples, model,
-    seed_offset=0, interpret=False, debug_noise=None, fast_ll: bool = False,
+    seed_offset=0, interpret=False, debug_noise=None,
 ) -> Tuple[jnp.ndarray, list]:
     """Computes ``(dscores [P, d, d], dtheta pytree)`` for
     :class:`~dibs_tpu.models.DenseNonlinearGaussian` with one hidden layer.
@@ -501,7 +580,7 @@ def fused_nonlinear_estimators(
         debug_noise,
         n_samples=n_samples, m_total=m_total, bm=bm, h1=h1, tau=float(tau),
         obs_noise=float(model.obs_noise), sig_param=float(model.sig_param),
-        activation=model.activation, interpret=interpret, fast_ll=fast_ll,
+        activation=model.activation, interpret=interpret,
     )
 
     dscores = dscores[:, :d, :d]

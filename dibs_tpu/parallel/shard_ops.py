@@ -184,8 +184,7 @@ def sharded_fused_linear(*, zs, thetas, x, interv_mask, key, alpha, tau,
 
 
 def sharded_fused_nonlinear(*, zs, thetas, x, interv_mask, key, alpha, tau,
-                            n_samples, model, sharding: NamedSharding,
-                            fast_ll: bool = False):
+                            n_samples, model, sharding: NamedSharding):
     """Runs the single-pass nonlinear sample-and-score kernel per shard.
 
     Same structure as :func:`sharded_fused_linear`: the online-softmax
@@ -203,7 +202,7 @@ def sharded_fused_nonlinear(*, zs, thetas, x, interv_mask, key, alpha, tau,
         return fused_nonlinear_estimators(
             zs=zs_blk, thetas=thetas_blk, x=x_, interv_mask=interv_,
             key=key_, alpha=alpha_, tau=tau, n_samples=n_samples,
-            model=model, seed_offset=offset, fast_ll=fast_ll,
+            model=model, seed_offset=offset,
         )
 
     fn = shard_map(
