@@ -68,11 +68,13 @@ def build_state_and_step():
     return state, run_chunk
 
 
-def measure_steps_per_sec(chunk_steps=100, repeats=4):
+def measure_steps_per_sec(chunk_steps=100, repeats=4, trials=3):
     """True throughput: timed regions end with ``jax.device_get`` — on the
     tunneled axon backend ``block_until_ready`` acknowledges dispatch, not
     completion, and can over-report by orders of magnitude. Subtracting a
-    1-chunk run cancels the shared dispatch+transfer overhead."""
+    1-chunk run cancels the shared dispatch+transfer overhead. Best of
+    ``trials`` measurements (tunnel latency is bursty; the max is the
+    least-contended sample, matching benchmarks/run_benchmarks.py)."""
     import jax
 
     state, run_chunk = build_state_and_step()
@@ -80,17 +82,21 @@ def measure_steps_per_sec(chunk_steps=100, repeats=4):
     state = run_chunk(state, n_steps=chunk_steps)
     _ = jax.device_get(state.z)
 
-    t0 = time.perf_counter()
-    state = run_chunk(state, n_steps=chunk_steps)
-    _ = jax.device_get(state.z)
-    t_one = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    for _ in range(repeats):
+    best = 0.0
+    for _ in range(trials):
+        t0 = time.perf_counter()
         state = run_chunk(state, n_steps=chunk_steps)
-    _ = jax.device_get(state.z)
-    t_many = time.perf_counter() - t0
-    return (repeats - 1) * chunk_steps / max(t_many - t_one, 1e-9)
+        _ = jax.device_get(state.z)
+        t_one = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            state = run_chunk(state, n_steps=chunk_steps)
+        _ = jax.device_get(state.z)
+        t_many = time.perf_counter() - t0
+        best = max(best,
+                   (repeats - 1) * chunk_steps / max(t_many - t_one, 1e-9))
+    return best
 
 
 def main():
