@@ -195,6 +195,9 @@ def main():
     parser.add_argument("--quality", action="store_true")
     parser.add_argument("--scaling", action="store_true",
                         help="particle-scaling sweep instead of the configs")
+    parser.add_argument("--dim-scaling", action="store_true",
+                        help="graph-size (d) scaling sweep instead of the "
+                             "configs")
     parser.add_argument("--sharded", action="store_true",
                         help="mesh-sharded efficiency sweep instead of the "
                              "configs (run with "
@@ -214,6 +217,13 @@ def main():
 
     if args.scaling:
         results = scaling_curve()
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+        return
+
+    if args.dim_scaling:
+        results = dim_scaling_curve()
         if args.out:
             with open(args.out, "w") as f:
                 json.dump(results, f, indent=2)
@@ -268,6 +278,38 @@ def scaling_curve(n_vars=128, particle_counts=(125, 250, 500, 1000, 2000)):
     return results
 
 
+
+
+def dim_scaling_curve(d_values=(32, 64, 128, 256, 384), n_particles=100,
+                      n_obs=100):
+    """Graph-size scaling sweep: steps/sec vs d at fixed P=100 / M=32 /
+    kmc=8 (throughput-only; N=100 rows is underdetermined past d~100 —
+    posterior quality at large d needs proportionally more data, see the
+    round-1 N=512 validation note). d=384 is the fused linear kernel's
+    VMEM cap; larger d falls back to the XLA estimators."""
+    results = []
+    for n_vars in d_values:
+        key = random.PRNGKey(123)
+        key, subk = random.split(key)
+        data, gm, lm = make_linear_gaussian_model(
+            key=subk, n_vars=n_vars, graph_prior_str="sf",
+            n_observations=n_obs, n_ho_observations=10,
+        )
+        dibs = JointDiBS(
+            x=data.x, graph_model=gm, likelihood_model=lm,
+            n_grad_mc_samples=32, n_acyclicity_mc_samples=8,
+        )
+        sps, compile_s = time_steps_per_sec(
+            dibs, n_particles, chunk=5, repeats=2
+        )
+        rec = {
+            "n_vars": n_vars,
+            "steps_per_sec": round(sps, 3),
+            "compile_s": round(compile_s, 1),
+        }
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+    return results
 
 
 def sharded_efficiency(n_vars=32, n_particles=64, n_obs=64):
