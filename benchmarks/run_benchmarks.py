@@ -299,8 +299,12 @@ def dim_scaling_curve(d_values=(32, 64, 128, 256, 384), n_particles=100,
             x=data.x, graph_model=gm, likelihood_model=lm,
             n_grad_mc_samples=32, n_acyclicity_mc_samples=8,
         )
+        # chunk sized so each timed dispatch is >= ~100 ms of device work:
+        # at small d a 5-step chunk is sub-ms and the tunnel-latency
+        # subtraction returns noise (observed 9x run-to-run swings at d=32)
+        chunk = max(5, min(400, (4 * 128 * 128 * 100) // (n_vars * n_vars)))
         sps, compile_s = time_steps_per_sec(
-            dibs, n_particles, chunk=5, repeats=2
+            dibs, n_particles, chunk=chunk, repeats=2
         )
         rec = {
             "n_vars": n_vars,

@@ -129,3 +129,40 @@ def test_engine_runs_with_spectral_acyclicity():
                      n_acyclicity_mc_samples=2)
     gs, thetas = dibs.sample(key=random.PRNGKey(1), n_particles=3, steps=8)
     assert jnp.isfinite(thetas).all()
+
+
+def test_large_d_cyclic_soft_graph_stays_finite():
+    """f32 overflow regression (round 3d): a dense ~0.5 soft graph at
+    d=300 has true h(G) ~ 1.5^300 (far past f32 max) — the unscaled power
+    chain returned inf and the SVGD prior produced beta*inf (inf, or NaN
+    at t=0 where beta=0), NaN-ing every d >= ~256 run on its first step.
+    The scale-tracked chain must return a huge-but-finite h and a
+    finite, direction-preserving gradient, so 0 * grad == 0."""
+    import jax
+
+    from dibs_tpu.ops.acyclic import acyclic_constr
+
+    d = 300
+    key = random.PRNGKey(0)
+    g = random.uniform(key, (d, d)) * (1.0 - jnp.eye(d))
+    h = acyclic_constr(g, d)
+    assert jnp.isfinite(h), h
+    assert h > 1e15  # genuinely astronomically cyclic
+    grad = jax.grad(lambda m: acyclic_constr(m, d))(g)
+    assert jnp.isfinite(grad).all()
+    assert float(jnp.abs(grad).max()) > 0.0
+    assert jnp.all(0.0 * grad == 0.0)  # the t=0 prior-score product
+
+
+def test_large_d_dag_h_zero_exact():
+    """DAG path mass is bounded by (1 + 1/d)^d < e thanks to the 1/d
+    normalization, so the scale-tracked chain never rescales on DAGs and
+    ``h == 0`` stays exact at any d — the metrics' DAG filter depends on
+    this. A complete (upper-triangular) DAG is the worst case for path
+    counts."""
+    from dibs_tpu.ops.acyclic import acyclic_constr
+
+    d = 300
+    g = jnp.triu(jnp.ones((d, d)), k=1)  # complete DAG, 2^299-ish paths
+    h = acyclic_constr(g, d)
+    assert float(h) == 0.0, float(h)
