@@ -701,16 +701,18 @@ def make_estimators(
             fused_linear_estimators,
         )
 
-        if not fused_linear_available(x.shape[-1]):
+        if not fused_linear_available(x.shape[-1], n_obs=x.shape[0]):
             import jax as _jax
 
             if _jax.default_backend() == "tpu":  # pragma: no cover - TPU only
                 import warnings
 
                 warnings.warn(
-                    f"fused linear-Gaussian Pallas path disabled for d="
-                    f"{x.shape[-1]} (supported: 2 <= d <= 384); falling back"
-                    " to the generic estimators — expect lower throughput.",
+                    f"fused linear-Gaussian Pallas path disabled for "
+                    f"d={x.shape[-1]}, N={x.shape[0]} (supported: "
+                    "2 <= d <= 384 and N within the kernel's VMEM budget "
+                    "— see fused_linear_available); falling back to the "
+                    "generic estimators — expect lower throughput.",
                     stacklevel=2,
                 )
         else:

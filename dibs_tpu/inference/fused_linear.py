@@ -142,10 +142,24 @@ def _ll_dot(a, b, dims, hi=False, fast=False):
     return dot(a_hi, b_hi) + (dot(a - a_hi, b_hi) + dot(a_hi, b - b_hi))
 
 
-def fused_linear_available(n_vars: int) -> bool:
+def fused_linear_available(n_vars: int, n_obs: int = 0) -> bool:
+    """True when the fused kernel supports this shape on this backend.
+
+    ``n_obs`` (when known) enters a VMEM budget check: the kernel keeps
+    several live ``[N_pad, bm*dp]`` f32 tiles per group (data/weights,
+    the centered-scoring reference residual, per-group deltas), and past
+    ``N_pad * wd`` ≈ 1M lanes the Mosaic compile fails opaquely (measured
+    on v5e: d=128 fails at N=2048, d=30 at N=4096). The gate declines at
+    a conservative 768k so the engine falls back to the exact XLA
+    estimators instead of crashing the compile."""
     from dibs_tpu.ops.pallas_kernels import pallas_enabled
 
-    return _PALLAS and pallas_enabled() and 2 <= n_vars <= _MAX_D
+    ok = _PALLAS and pallas_enabled() and 2 <= n_vars <= _MAX_D
+    if ok and n_obs:
+        dp, bm, _ = _pad_plan(n_vars, 1)
+        n_pad = _round_up(max(n_obs, _SUB), _SUB)
+        ok = n_pad * bm * dp <= 768 * 1024
+    return ok
 
 
 def _round_up(v, m):

@@ -119,3 +119,22 @@ def test_extreme_scale_advisory():
             build(x_big, fused_linear_model=lm)  # linear: silent at ANY scale
     finally:
         config.set_pallas_enabled(None)
+
+
+def test_linear_gate_n_obs_vmem_budget():
+    """Large-N datasets exceed the linear kernel's VMEM (measured opaque
+    Mosaic compile failures on v5e: d=128 at N=2048, d=30 at N=4096);
+    the gate must decline conservatively so the engine falls back to the
+    exact XLA estimators instead of crashing the compile."""
+    import dibs_tpu.config as config
+
+    try:
+        config.set_pallas_enabled(True)  # force the backend check open
+        assert fused_linear_available(128, n_obs=512)
+        assert fused_linear_available(30, n_obs=3000)
+        assert not fused_linear_available(128, n_obs=2048)
+        assert not fused_linear_available(30, n_obs=4096)
+        # n_obs omitted keeps the shape-only behavior (back-compat)
+        assert fused_linear_available(128)
+    finally:
+        config.set_pallas_enabled(None)
