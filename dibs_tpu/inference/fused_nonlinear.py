@@ -139,7 +139,9 @@ def fused_nonlinear_available(model, n_obs: int = 0) -> bool:
     streams' pre-activations/activations, the centered-scoring reference
     pre/act/residual tiles, and data tiles); past ~12 MB the Mosaic
     compile would fail opaquely, so the gate declines and the engine
-    falls back to the XLA estimators.
+    falls back to the XLA estimators. Calibrated against measured v5e
+    failures (d=20, h1=5: compile OK at N=400, fails at N=800 — the gate
+    declines from N=400, conservative by design).
     """
     from dibs_tpu.ops.pallas_kernels import pallas_enabled
 
