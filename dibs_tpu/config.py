@@ -23,7 +23,9 @@ quality, 3 seeds per arm): ``highest`` 17.8, ``high`` 18.7, ``default``
 bf16, ~2^-9) measured clean too but stays opt-in: the repulsion term
 ``K^T V − colsum(K) ⊙ V`` is a near-cancelling difference when particles
 cluster (late SVGD), and the reduced 800-step protocol does not stress
-that regime.
+that regime. The ``'high'`` default IS validated at the full 2000-step
+protocol: the round-3d parity re-validation (parity/RESULTS_r3.md
+addendum) ran with it and matched the recorded golden medians.
 """
 from __future__ import annotations
 
