@@ -146,19 +146,22 @@ def fused_linear_available(n_vars: int, n_obs: int = 0) -> bool:
     """True when the fused kernel supports this shape on this backend.
 
     ``n_obs`` (when known) enters a VMEM budget check: the kernel keeps
-    several live ``[N_pad, bm*dp]`` f32 tiles per group (data/weights,
-    the centered-scoring reference residual, per-group deltas), and past
-    ``N_pad * wd`` ≈ 1M lanes the Mosaic compile fails opaquely (measured
-    on v5e: d=128 fails at N=2048, d=30 at N=4096). The gate declines at
-    a conservative 768k so the engine falls back to the exact XLA
-    estimators instead of crashing the compile."""
+    several live ``[N_pad, wd]`` data/residual/delta tiles and ~ten
+    ``[dp, wd]`` parameter tiles per group, and past the budget the
+    Mosaic compile fails opaquely (HTTP 500 tpu_compile_helper). The
+    ``(3·N_pad + 10·dp)·wd·4 <= 20 MB`` rule is calibrated against
+    measured v5e cliffs at the 1024-lane wide plan: compile OK at
+    d=128/N=1024 (17.8 MB) and d=30/N=1500 (19.8 MB), fail at
+    d=128/N=1536 (24 MB) and d=30/N=2048 (26.5 MB). The gate declines
+    so the engine falls back to the exact XLA estimators instead of
+    crashing the compile."""
     from dibs_tpu.ops.pallas_kernels import pallas_enabled
 
     ok = _PALLAS and pallas_enabled() and 2 <= n_vars <= _MAX_D
     if ok and n_obs:
         dp, bm, _ = _pad_plan(n_vars, 1)
         n_pad = _round_up(max(n_obs, _SUB), _SUB)
-        ok = n_pad * bm * dp <= 768 * 1024
+        ok = (3 * n_pad + 10 * dp) * bm * dp * 4 <= 20 * 1024 * 1024
     return ok
 
 
@@ -196,11 +199,13 @@ def _pad_plan(d: int, n_samples: int):
     multiple — Mosaic compiles power-of-two wide layouts several times
     faster than ragged ones (measured: dp=24/bm=32 takes ~450 s to compile,
     dp=32/bm=8 ~110 s; at fixed shapes the result is persistent-cached, but
-    fresh installs pay it once per shape); ``bm``: samples per wide group —
-    8, the group size the d=128 scaling config was tuned at (wide width
-    ``bm * dp`` stays lane-aligned and within 1024 for every dp here);
-    ``m_total``: n_samples padded to a ``bm`` multiple (extra samples get
-    zero softmax weight and are sliced away).
+    fresh installs pay it once per shape); ``bm``: samples per wide group,
+    chosen so the wide width ``bm * dp`` fills 1024 lanes (8 MXU tiles) —
+    at small ``d`` the kernels are bound by the per-group matmul/epilogue
+    count, and widening the groups from the earlier fixed bm=8 (wd=256 at
+    d=20) to wd=1024 measured **1.9x** on the d=20 joint config (1350 ->
+    2574 steps/s); ``m_total``: n_samples padded to a ``bm`` multiple
+    (extra samples get zero softmax weight and are sliced away).
     """
     if d <= _LANE:
         dp = 16
@@ -208,7 +213,7 @@ def _pad_plan(d: int, n_samples: int):
             dp *= 2
     else:
         dp = _round_up(d, _LANE)
-    bm = 8 if dp <= _LANE else max(1, 1024 // dp)
+    bm = max(1, 1024 // dp)
     return dp, bm, _round_up(n_samples, bm)
 
 

@@ -70,6 +70,12 @@ def main():
         data, gm, lm = make_linear_gaussian_equivalent_model(
             key=subk, n_vars=20, graph_prior_str="er")
         dibs = MarginalDiBS(x=data.x, graph_model=gm, likelihood_model=lm)
+    elif args.config == 2:
+        from dibs_tpu.target import make_linear_gaussian_model
+
+        data, gm, lm = make_linear_gaussian_model(
+            key=subk, n_vars=20, graph_prior_str="sf")
+        dibs = JointDiBS(x=data.x, graph_model=gm, likelihood_model=lm)
     elif args.config == 3:
         data, gm, lm = make_nonlinear_gaussian_model(
             key=subk, n_vars=20, graph_prior_str="sf", hidden_layers=(5,))
@@ -83,7 +89,7 @@ def main():
         dibs = JointDiBS(x=data.x, graph_model=gm, likelihood_model=lm,
                          n_grad_mc_samples=32, n_acyclicity_mc_samples=8)
     else:
-        raise SystemExit("configs 1, 3 and 5 only")
+        raise SystemExit("configs 1, 2, 3 and 5 only")
 
     state = dibs.init_state(key=random.PRNGKey(0), n_particles=n_particles)
     z, theta = state.z, state.theta
@@ -192,7 +198,7 @@ def main():
         cost = bge_step_cost(d=d, n_obs=dibs.x.shape[0], p=n_particles,
                              m=cfg.n_grad_mc_samples,
                              kmc=cfg.n_acyclicity_mc_samples)
-    elif args.config == 5:
+    elif args.config in (2, 5):
         cost = linear_step_cost(d=d, n_obs=dibs.x.shape[0], p=n_particles,
                                 m=cfg.n_grad_mc_samples,
                                 kmc=cfg.n_acyclicity_mc_samples)

@@ -123,17 +123,19 @@ def test_extreme_scale_advisory():
 
 def test_linear_gate_n_obs_vmem_budget():
     """Large-N datasets exceed the linear kernel's VMEM (measured opaque
-    Mosaic compile failures on v5e: d=128 at N=2048, d=30 at N=4096);
-    the gate must decline conservatively so the engine falls back to the
+    Mosaic compile failures on v5e at the 1024-lane wide plan: OK at
+    d=128/N=1024 and d=30/N=1500, fail at d=128/N=1536 and d=30/N=2048);
+    the gate must track those cliffs so the engine falls back to the
     exact XLA estimators instead of crashing the compile."""
     import dibs_tpu.config as config
 
     try:
         config.set_pallas_enabled(True)  # force the backend check open
-        assert fused_linear_available(128, n_obs=512)
-        assert fused_linear_available(30, n_obs=3000)
-        assert not fused_linear_available(128, n_obs=2048)
-        assert not fused_linear_available(30, n_obs=4096)
+        assert fused_linear_available(128, n_obs=1024)   # measured OK
+        assert fused_linear_available(30, n_obs=1500)    # measured OK
+        assert fused_linear_available(30, n_obs=600)     # config 4
+        assert not fused_linear_available(128, n_obs=1536)  # measured fail
+        assert not fused_linear_available(30, n_obs=2048)   # measured fail
         # n_obs omitted keeps the shape-only behavior (back-compat)
         assert fused_linear_available(128)
     finally:
