@@ -59,6 +59,12 @@ except ImportError:  # pragma: no cover
 __all__ = ["bge_logdet_pairs", "bge_pallas_available"]
 
 _TILE = 256  # matrices eliminated per grid cell (lane-dim batch)
+# Measured negative result (round 3e): widening TILE to 1024 at d=20 (the
+# lane-filling lever that gave fused_linear +73%) changed config-1
+# throughput by ~0 (1125 vs 1175 steps/s, within the process band) — the
+# elimination's serial d^2/2-op chain is VPU-THROUGHPUT-bound per op
+# ([d, TILE] tiles already span multiple vregs), so wider tiles trade
+# proportionally more cycles per op for fewer ops. 256 stays.
 
 # VMEM guard: the resident state is [d, d, TILE] f32 (~d^2 * 1 KB at
 # TILE=256); past d=64 the unrolled elimination also stops beating XLA's
