@@ -200,12 +200,15 @@ def _pad_plan(d: int, n_samples: int):
     faster than ragged ones (measured: dp=24/bm=32 takes ~450 s to compile,
     dp=32/bm=8 ~110 s; at fixed shapes the result is persistent-cached, but
     fresh installs pay it once per shape); ``bm``: samples per wide group,
-    chosen so the wide width ``bm * dp`` fills 1024 lanes (8 MXU tiles) —
-    at small ``d`` the kernels are bound by the per-group matmul/epilogue
-    count, and widening the groups from the earlier fixed bm=8 (wd=256 at
-    d=20) to wd=1024 measured **1.9x** on the d=20 joint config (1350 ->
-    2574 steps/s); ``m_total``: n_samples padded to a ``bm`` multiple
-    (extra samples get zero softmax weight and are sliced away).
+    chosen so the wide width ``bm * dp`` fills 2048 lanes at small ``d``
+    (1024 at dp=128) — at small ``d`` the kernels are bound by the
+    per-group matmul/epilogue count, and widening the groups from the
+    earlier fixed bm=8 (wd=256 at d=20) measured **1.9x** at wd=1024 on
+    the d=20 joint config (1350 -> 2574 steps/s) plus a consistent +5-10%
+    more at wd=2048 (same-process A/B, both cfg2 and cfg4; wd=4096 blows
+    the VMEM budget at cfg4's N=600); ``m_total``: n_samples padded to a
+    ``bm`` multiple (extra samples get zero softmax weight and are sliced
+    away).
     """
     if d <= _LANE:
         dp = 16
@@ -213,7 +216,7 @@ def _pad_plan(d: int, n_samples: int):
             dp *= 2
     else:
         dp = _round_up(d, _LANE)
-    bm = max(1, 1024 // dp)
+    bm = max(1, (2048 if dp <= 64 else 1024) // dp)
     return dp, bm, _round_up(n_samples, bm)
 
 

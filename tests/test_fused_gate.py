@@ -15,7 +15,7 @@ def test_pad_plan_invariants(d, m):
     dp, bm, m_total = _pad_plan(d, m)
     assert dp >= d and dp % _SUB == 0
     assert (dp * bm) % _LANE == 0, "wide group width must be a lane multiple"
-    assert dp * bm <= 1024, "wide group width bounded for VMEM"
+    assert dp * bm <= 2048, "wide group width bounded for VMEM"
     assert _LANE % bm == 0, "bm must divide the lane count"
     assert m_total % bm == 0 and m_total >= m
     assert m_total <= ((m + _LANE - 1) // _LANE) * _LANE, (
@@ -132,10 +132,14 @@ def test_linear_gate_n_obs_vmem_budget():
     try:
         config.set_pallas_enabled(True)  # force the backend check open
         assert fused_linear_available(128, n_obs=1024)   # measured OK
-        assert fused_linear_available(30, n_obs=1500)    # measured OK
-        assert fused_linear_available(30, n_obs=600)     # config 4
+        assert fused_linear_available(30, n_obs=600)     # config 4 (probed
+        #                                     OK at the wd=2048 wide plan)
         assert not fused_linear_available(128, n_obs=1536)  # measured fail
         assert not fused_linear_available(30, n_obs=2048)   # measured fail
+        # the budget scales with the plan's group width: at wd=2048 the
+        # d=30 ceiling sits near N ~ 750 (conservative — the wd=1024
+        # cliff was measured between 1500 and 2048)
+        assert not fused_linear_available(30, n_obs=1024)
         # n_obs omitted keeps the shape-only behavior (back-compat)
         assert fused_linear_available(128)
     finally:
