@@ -60,7 +60,7 @@ def visualize(mats, t=None, save_path=None, n_cols=7, size=2.5, show=False):
         png = os.path.join(save_path, f"img{t}.png")
         fig.savefig(png, bbox_inches="tight", dpi=100)
         try:
-            import imageio
+            import imageio.v2 as imageio
 
             img = imageio.imread(png)
         except ImportError:  # imageio optional — matplotlib reads PNGs too
