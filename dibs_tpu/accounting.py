@@ -26,13 +26,23 @@ import math
 from typing import Any, Dict, Optional
 
 __all__ = ["CHIP_PEAKS", "StepCost", "bge_step_cost", "linear_step_cost",
-           "nonlinear_step_cost", "roofline", "xla_cost_analysis"]
+           "nonlinear_step_cost", "roofline", "xla_cost_analysis",
+           "ring_comm_model", "allgather_comm_model", "multichip_projection"]
 
 CHIP_PEAKS = {
     "tpu_v5e": {
         "bf16_tflops": 197.0,
         "fp32_tflops": 49.2,
         "hbm_gbps": 819.0,
+        # ICI: one-way bandwidth per link. v5e is a 2-D torus with ~45 GB/s
+        # per link per direction ("How to Scale Your Model" ballpark; the
+        # r3 VERDICT's "~400 GB/s/link" reads as the aggregate across the
+        # 4 links x 2 directions, ~360 GB/s — we model the conservative
+        # per-direction figure because a 1-D ring ppermute rides exactly
+        # one link each way). All comm projections scale inversely in
+        # this number; the tables state it explicitly.
+        "ici_gbps_per_link_dir": 45.0,
+        "ici_links": 4,
     },
     # CPU reference host (rough: 1 core AVX-512 @ ~2 GHz)
     "cpu_1core": {"bf16_tflops": 0.064, "fp32_tflops": 0.128, "hbm_gbps": 20.0},
@@ -273,6 +283,137 @@ def roofline(flops, bytes_, transc, seconds, chip="tpu_v5e",
         "binding_ceiling": bound,
         "headroom_x": round(1.0 / max(fracs.values()), 1)
         if max(fracs.values()) > 0 else None,
+    }
+
+
+# --------------------------------------------------------------------------
+# Multi-chip performance model (VERDICT r3 item 2)
+#
+# Real multi-chip hardware is unavailable in this environment; the virtual
+# CPU mesh validates *structure* (collective counts/types — see
+# tests/test_parallel.py::test_ring_hlo_collective_structure), and this
+# model supplies the *performance* story: per-config ICI comm volume and
+# projected weak/strong-scaling efficiency. The only cross-particle
+# coupling in SVGD is the [P, P] kernel/transport (reference
+# svgd.py:258-261, 710-714); everything else is embarrassingly parallel
+# over particles, so the model has three terms per chip:
+#
+#   t(N) = t_fixed  +  t_particle_work / N  +  exposed_comm(N)
+#
+# * ``t_fixed``: per-step time that does not shrink with fewer local
+#   particles — dispatch, the fixed population of small XLA ops, Pallas
+#   grid prologues. Calibrated from the fleet B-sweep (t(B) ~= t_fixed +
+#   B * t_work fits both; benchmarks/FLEET_SCALING.json).
+# * particle work: every estimator phase AND the transport tile compute
+#   (each device computes [P/N, P/N] tiles x N ring rounds = P^2/N pairs).
+# * comm: the ring rotates the flattened (v, grad) blocks — per device per
+#   step, (N-1) rounds x block bytes; XLA's latency-hiding scheduler
+#   overlaps each permute with the next tile's compute, so the *exposed*
+#   comm is max(0, round_comm - round_tile_compute) per round. The
+#   all-gather fallback path transfers (N-1)/N * P * n bytes instead.
+# --------------------------------------------------------------------------
+
+
+def ring_comm_model(*, p, n_dev, z_dim, theta_dim=0, dtype_bytes=4.0
+                    ) -> Dict[str, float]:
+    """Per-device ICI traffic of the ring transport for one SVGD step.
+
+    The rotating payload per device is the flattened local ``(v, grad)``
+    block pair: ``2 * (P/N) * (z_dim + theta_dim)`` floats (marginal
+    engines have ``theta_dim=0``; the joint ring rotates z/dz plus the
+    flattened theta/dtheta — ``dibs_tpu/parallel/ring.py``).
+    """
+    blk = 2.0 * (p / n_dev) * (z_dim + theta_dim) * dtype_bytes
+    rounds = max(n_dev - 1, 0)
+    return {
+        "block_bytes": blk,
+        "rounds": rounds,
+        "bytes_per_device": rounds * blk,
+        "bytes_total": rounds * blk * n_dev,
+    }
+
+
+def allgather_comm_model(*, p, n_dev, z_dim, theta_dim=0, dtype_bytes=4.0
+                         ) -> Dict[str, float]:
+    """Per-device ICI traffic of the all-gather transport path (used when
+    the kernel needs the global distance matrix, e.g. median-heuristic
+    bandwidths): each device receives every other shard of (v, grad)."""
+    recv = 2.0 * (n_dev - 1) / max(n_dev, 1) * p * (z_dim + theta_dim) \
+        * dtype_bytes
+    return {"bytes_per_device": recv, "bytes_total": recv * n_dev}
+
+
+def multichip_projection(*, seconds_1chip, p, n_dev, z_dim, theta_dim=0,
+                         transport_frac, t_fixed=0.0, weak=False,
+                         chip="tpu_v5e", ici_gbps=None) -> Dict[str, Any]:
+    """Projected per-step time and scaling efficiency at ``n_dev`` chips.
+
+    Args:
+        seconds_1chip: measured single-chip step time at particle count
+            ``p`` (the BASELINE config numbers).
+        transport_frac: fraction of the *scalable* single-chip step spent
+            in the [P, P] kernel/transport (from the accounting phase
+            model, or measured — 36% at d=128/P=2000).
+        t_fixed: non-scaling per-step seconds (fleet-sweep calibrated).
+        weak: if True, the projection holds the per-chip particle count at
+            ``p`` (global particles = p * n_dev) instead of splitting
+            ``p`` across chips.
+
+    Returns a dict with the per-term breakdown, the overlapped and
+    non-overlapped step-time projections, and the efficiency (vs perfect
+    linear scaling for strong, vs constant step time for weak).
+    """
+    peaks = CHIP_PEAKS[chip]
+    bw = (ici_gbps if ici_gbps is not None
+          else peaks["ici_gbps_per_link_dir"]) * 1e9
+    t_work = max(seconds_1chip - t_fixed, 0.0)
+    t_tr1 = transport_frac * t_work        # single-chip transport compute
+    t_other1 = t_work - t_tr1              # everything else (particle-par)
+
+    if n_dev == 1:
+        t_step = t_fixed + t_work
+        return {"n_dev": 1, "t_step": t_step, "t_step_no_overlap": t_step,
+                "t_fixed": t_fixed, "t_other": t_other1, "t_transport": t_tr1,
+                "t_comm_exposed": 0.0, "comm_bytes_per_device": 0.0,
+                "efficiency": 1.0}
+
+    if weak:
+        # per-chip: other work constant; transport work grows ~linearly
+        # (P_total^2 / N = N * p^2 pair-work per device); rotating block
+        # stays p * n floats.
+        t_other = t_other1
+        t_tr = n_dev * t_tr1
+        comm = ring_comm_model(p=p * n_dev, n_dev=n_dev, z_dim=z_dim,
+                               theta_dim=theta_dim)
+    else:
+        t_other = t_other1 / n_dev
+        t_tr = t_tr1 / n_dev
+        comm = ring_comm_model(p=p, n_dev=n_dev, z_dim=z_dim,
+                               theta_dim=theta_dim)
+
+    rounds = comm["rounds"]
+    per_round_comm = comm["block_bytes"] / bw
+    per_round_tile = t_tr / max(n_dev, 1)  # N tile steps per ring pass
+    exposed = rounds * max(0.0, per_round_comm - per_round_tile)
+    t_comm_full = rounds * per_round_comm
+
+    t_step = t_fixed + t_other + t_tr + exposed
+    t_step_no_overlap = t_fixed + t_other + t_tr + t_comm_full
+    if weak:
+        eff = (t_fixed + t_work) / t_step  # ideal: constant step time
+    else:
+        eff = (t_fixed + t_work) / (n_dev * t_step)
+    return {
+        "n_dev": n_dev,
+        "t_step": t_step,
+        "t_step_no_overlap": t_step_no_overlap,
+        "t_fixed": t_fixed,
+        "t_other": t_other,
+        "t_transport": t_tr,
+        "t_comm_exposed": exposed,
+        "t_comm_full": t_comm_full,
+        "comm_bytes_per_device": comm["bytes_per_device"],
+        "efficiency": eff,
     }
 
 

@@ -273,3 +273,93 @@ def test_sharded_fused_nonlinear_seed_offsets():
     for leaf in jax.tree_util.tree_leaves(dt):
         assert jnp.array_equal(
             leaf.reshape(p, -1)[:, 0], expected)
+
+
+def test_ring_hlo_collective_structure(target):
+    """VERDICT r3 item 2: the compiled sharded step's collectives match the
+    ring design — collective-permutes for the rotating (z, dz, th, dth)
+    blocks (between N-1 and 4*(N-1) instances, depending on how XLA's
+    combiner merges the per-round tuple) and no all-gather anywhere near
+    the [P, M, d, d] estimator batch (the round-2 replication guard checks
+    memory; this checks the compiled program's structure)."""
+    import re
+
+    data, graph_model, lik_model = target
+    n_dev = 8
+    mesh = make_particle_mesh()
+    sharding = particle_sharding(mesh)
+    p, m = 16, 8
+    dibs = JointDiBS(
+        x=data.x, graph_model=graph_model, likelihood_model=lik_model,
+        n_grad_mc_samples=m, n_acyclicity_mc_samples=4, sharding=sharding,
+    )
+    state = dibs.init_state(key=random.PRNGKey(5), n_particles=p)
+    step = dibs._make_step(dibs._resolve_latent_std(state.z.shape[2]))
+    compiled = jax.jit(step).lower(state, dibs.x, dibs.interv_mask).compile()
+    hlo = compiled.as_text()
+
+    # ring rotation: one collective-permute per rotating array per round
+    # (4 arrays x N-1 rounds in the joint ring), possibly combined
+    n_perm = len(re.findall(r"collective-permute(?:-start)?\(", hlo))
+    assert n_dev - 1 <= n_perm <= 4 * (n_dev - 1), (
+        f"expected between {n_dev - 1} and {4 * (n_dev - 1)} "
+        f"collective-permutes in the ring step, found {n_perm}"
+    )
+
+    # no all-gather may materialize anything the size of the estimator
+    # sample batch [P, M, d, d] (or larger): the per-particle gradient
+    # stack must stay fully shard-local
+    d = data.x.shape[1]
+    batch_elems = p * m * d * d
+    for dims in re.findall(r"=\s*\w+\[([\d,]+)\][^=]*all-gather", hlo):
+        n_elems = 1
+        for s in dims.split(","):
+            n_elems *= int(s)
+        assert n_elems < batch_elems, (
+            f"all-gather of {n_elems} elements >= estimator batch "
+            f"{batch_elems} — cross-shard replication of per-particle work"
+        )
+
+
+def test_multichip_comm_model():
+    """The analytic ICI model's arithmetic (accounting.py): ring vs
+    all-gather volumes and the projection's limiting behavior."""
+    from dibs_tpu.accounting import (
+        allgather_comm_model, multichip_projection, ring_comm_model,
+    )
+
+    p, n, zd, td = 1000, 8, 128 * 128 * 2, 128 * 128
+    ring = ring_comm_model(p=p, n_dev=n, z_dim=zd, theta_dim=td)
+    # block = 2 * (P/N) * n_float * 4B; 7 rounds
+    assert ring["block_bytes"] == 2 * (p / n) * (zd + td) * 4
+    assert ring["rounds"] == n - 1
+    assert ring["bytes_per_device"] == ring["block_bytes"] * (n - 1)
+
+    ag = allgather_comm_model(p=p, n_dev=n, z_dim=zd, theta_dim=td)
+    # ring and all-gather move the same per-device volume for the same
+    # payload (both receive everyone else's block once)
+    assert abs(ag["bytes_per_device"] - ring["bytes_per_device"]) < 1e-6
+
+    # strong scaling: with no fixed overhead and no comm exposure the
+    # projection approaches perfect 1/N
+    proj = multichip_projection(
+        seconds_1chip=0.05, p=p, n_dev=n, z_dim=zd, theta_dim=td,
+        transport_frac=0.3, t_fixed=0.0, ici_gbps=1e9,  # infinite ICI
+    )
+    assert abs(proj["t_step"] - 0.05 / n) < 1e-9
+    assert abs(proj["efficiency"] - 1.0) < 1e-6
+
+    # a pure-fixed-overhead config cannot scale
+    proj2 = multichip_projection(
+        seconds_1chip=0.001, p=30, n_dev=8, z_dim=20 * 20 * 2,
+        transport_frac=0.05, t_fixed=0.001,
+    )
+    assert proj2["efficiency"] <= 1.0 / 8 + 1e-6
+
+    # weak scaling: per-chip transport grows ~N, efficiency < 1
+    w = multichip_projection(
+        seconds_1chip=0.05, p=p, n_dev=n, z_dim=zd, theta_dim=td,
+        transport_frac=0.36, t_fixed=0.0, weak=True,
+    )
+    assert w["t_transport"] > 0.36 * 0.05 * (n - 1)
+    assert 0.0 < w["efficiency"] < 1.0
