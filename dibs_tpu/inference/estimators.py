@@ -23,7 +23,8 @@ TPU-native differences from the reference:
   * the EMA-baseline branch resolves at trace time (``score_function_baseline``
     is static) instead of a runtime ``lax.cond``;
   * for ``LinearGaussian`` on TPU the Z- and Θ-likelihood estimates fuse
-    into one two-pass Pallas kernel (:mod:`dibs_tpu.inference.fused_linear`).
+    into one single-pass online-softmax Pallas kernel
+    (:mod:`dibs_tpu.inference.fused_linear`).
 
 Estimator math (identical to the reference):
 

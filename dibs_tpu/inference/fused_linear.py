@@ -8,14 +8,23 @@ module computes the same two MC estimates
     dZ-likelihood  =  Σ_m softmax(ℓ_soft)_m ∇_scores ℓ_soft_m      (reparam)
     dΘ-likelihood  =  Σ_m softmax(ℓ_hard)_m ∇_Θ      ℓ_hard_m
 
-with a flash-attention-style **two-pass seed-replay** scheme in Pallas:
+in ONE Pallas pass (round 4 — previously a two-pass seed-replay scheme):
+each Gumbel sample is generated from the TPU hardware PRNG in VMEM, scored
+(one ``[N, d] @ [d, d]`` MXU matmul per sample), and its gradient
+contribution accumulated immediately, with a flash-attention-style
+**online softmax** per particle (running max + normalizer per stream; the
+``[d, d]`` gradient accumulators are rescaled by ``exp(M_old − M_new)``
+whenever the max advances, and divide by the normalizer after the last
+group) — the same scheme the nonlinear kernel has used since round 3
+(``fused_nonlinear.py``). The single pass removes the duplicated
+sampling + delta-matmul chain of the old replay design (measured A/B:
+benchmarks/SINGLEPASS_AB.json); the two-pass path is kept behind
+``single_pass=False`` / ``_SINGLE_PASS`` for A/B and regression testing:
 
-  * pass 1 regenerates each Gumbel sample from the TPU hardware PRNG in
-    VMEM, scores it (one ``[N, d] @ [d, d]`` MXU matmul per sample), and
-    emits only the ``[P, M]`` log-probabilities;
-  * the softmax weights are formed in XLA (tiny);
+  * pass 1 regenerates each sample, scores it, and emits only the
+    ``[P, M]`` log-probabilities; the softmax weights are formed in XLA;
   * pass 2 regenerates the *same* samples from the same seeds and
-    accumulates the weighted gradients ``dscores`` / ``dΘ`` directly in VMEM.
+    accumulates the weighted gradients ``dscores`` / ``dΘ`` in VMEM.
 
 No graph sample, masked weight matrix, or noise tensor ever exists in HBM;
 per-step traffic drops to the ``[P, d, d]`` inputs/outputs. The fused path
@@ -109,6 +118,10 @@ _DELTA_HI = False
 # (CENTERED_NL_AB.json — a model-fit property, not kernel precision;
 # both fused and exact-XLA arms collapse identically there).
 _FAST_LL_MAX = 1.0e5
+# Single-pass (online-softmax) vs legacy two-pass (seed-replay) kernel.
+# Module-level trace-time constant so A/B experiments can flip it in one
+# process; per-call override via fused_linear_estimators(single_pass=...).
+_SINGLE_PASS = True
 
 
 def _ll_dot(a, b, dims, hi=False, fast=False):
@@ -159,7 +172,11 @@ def fused_linear_available(n_vars: int, n_obs: int = 0) -> bool:
 
     ok = _PALLAS and pallas_enabled() and 2 <= n_vars <= _MAX_D
     if ok and n_obs:
-        dp, bm, _ = _pad_plan(n_vars, 1)
+        # the decline rule is evaluated at the full lane-target group width
+        # (single=False) so the measured cliffs keep gating; the single-pass
+        # kernel then runs at the bm that _pad_plan's scoped-VMEM reduction
+        # picks for the same (d, N)
+        dp, bm, _ = _pad_plan(n_vars, 1, single=False)
         n_pad = _round_up(max(n_obs, _SUB), _SUB)
         ok = (3 * n_pad + 10 * dp) * bm * dp * 4 <= 20 * 1024 * 1024
     return ok
@@ -192,7 +209,22 @@ def _notice_compile(d: int, n_samples: int) -> None:
     )
 
 
-def _pad_plan(d: int, n_samples: int):
+# Single-pass scoped-VMEM model, calibrated against the one measured v5e
+# cliff: at (n_pad=600, dp=32, wd=2048) Mosaic reports a 17.85 MB scoped
+# allocation against its hard 16 MB limit — i.e. ~3 live [N_pad, wd] data/
+# residual/delta tiles plus ~12 [dp, wd] parameter tiles. The single-pass
+# kernel keeps the scoring-chain intermediates live (they were dead code
+# in the legacy pass 2), so its working set exceeds the two-pass rule in
+# fused_linear_available; the plan halves ``bm`` until the estimate fits
+# under the limit with margin.
+_VMEM_SINGLE_LIMIT = 15.5 * 1024 * 1024
+
+
+def _single_vmem_fits(n_pad: int, dp: int, bm: int) -> bool:
+    return (3 * n_pad + 12 * dp) * bm * dp * 4 <= _VMEM_SINGLE_LIMIT
+
+
+def _pad_plan(d: int, n_samples: int, n_obs: int = 0, single=None):
     """Static padding plan: ``(dp, bm, m_total)``.
 
     ``dp``: d padded to a power of two (min 16) up to 128, then to a lane
@@ -209,7 +241,14 @@ def _pad_plan(d: int, n_samples: int):
     the VMEM budget at cfg4's N=600); ``m_total``: n_samples padded to a
     ``bm`` multiple (extra samples get zero softmax weight and are sliced
     away).
+
+    When ``n_obs`` is known and the single-pass kernel will run, ``bm`` is
+    additionally halved until the scoped-VMEM estimate fits (see
+    ``_single_vmem_fits``) — measured at cfg4 (d=30, N=600): wd 2048
+    exceeds Mosaic's 16 MB scoped limit, wd 1024 fits.
     """
+    if single is None:
+        single = _SINGLE_PASS
     if d <= _LANE:
         dp = 16
         while dp < d:
@@ -217,6 +256,10 @@ def _pad_plan(d: int, n_samples: int):
     else:
         dp = _round_up(d, _LANE)
     bm = max(1, (2048 if dp <= 64 else 1024) // dp)
+    if n_obs and single:
+        n_pad = _round_up(max(n_obs, _SUB), _SUB)
+        while bm > 1 and not _single_vmem_fits(n_pad, dp, bm):
+            bm //= 2
     return dp, bm, _round_up(n_samples, bm)
 
 
@@ -245,8 +288,11 @@ def _gen_noise(shape):
 
 def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
                  bf16: bool = False, block_m: int = 8,
-                 debug_noise: bool = False):
-    """Builds the pass-1 (scoring) or pass-2 (gradient) kernel body.
+                 debug_noise: bool = False, single: bool = False,
+                 n_real: int = 0):
+    """Builds the kernel body: single-pass (``single=True``, the default
+    production path — online softmax, see module docstring), pass-1
+    (scoring) or pass-2 (gradient) of the legacy two-pass scheme.
 
     Grid: ``(P,)`` — one cell per particle. Samples are processed
     ``block_m`` at a time in a fully 2-D "wide" layout: a group's graphs /
@@ -254,6 +300,10 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
     the scoring matmul is one ``[N, d] @ [d, block_m*d]`` (full MXU
     utilization), per-sample reductions become indicator matmuls, and no 3-D
     transposes/reshapes ever reach the mosaic compiler.
+
+    ``n_real`` (single mode only): the un-padded sample count — padded
+    samples are masked out of the online softmax with ``-inf`` streams
+    (the two-pass form zeroes their XLA-side weights instead).
     """
     inv_var = 1.0 / obs_noise
     if n_samples % block_m != 0:
@@ -263,7 +313,16 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
 
     def kernel(*refs):
         noise_ref = None
-        if pass2:
+        if single:
+            if debug_noise:
+                (seed_ref, alpha_ref, scores_ref, theta_ref, logpdf_ref,
+                 dprior_ref, x_ref, w_ref, noise_ref,
+                 dscores_ref, dtheta_ref) = refs
+            else:
+                (seed_ref, alpha_ref, scores_ref, theta_ref, logpdf_ref,
+                 dprior_ref, x_ref, w_ref,
+                 dscores_ref, dtheta_ref) = refs
+        elif pass2:
             if debug_noise:
                 (seed_ref, alpha_ref, scores_ref, theta_ref, logpdf_ref,
                  dprior_ref, x_ref, w_ref, wsoft_ref, whard_ref, noise_ref,
@@ -310,7 +369,13 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
         within_d = jax.lax.broadcasted_iota(jnp.int32, (wd, d), 1)
         s_mat = (lanes_w_d % d == within_d).astype(jnp.float32)
 
-        if pass2:
+        if single:
+            dscores_ref[0] = jnp.zeros_like(dscores_ref[0])
+            dtheta_ref[0] = jnp.zeros_like(dtheta_ref[0])
+            dprior_t = tile(dprior_ref[0])  # (mu_e - theta)/sig_e^2, wide
+            # [1, bm] within-group sample index (padded-sample masking)
+            sample_iota = jax.lax.broadcasted_iota(jnp.int32, (1, bm), 1)
+        elif pass2:
             dscores_ref[0] = jnp.zeros_like(dscores_ref[0])
             dtheta_ref[0] = jnp.zeros_like(dtheta_ref[0])
             dprior_t = tile(dprior_ref[0])  # (mu_e - theta)/sig_e^2, wide
@@ -319,8 +384,9 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
             m_pad = wsoft_row.shape[-1]
         else:
             m_pad = lsoft_ref.shape[-1]
-        lane_m = jax.lax.broadcasted_iota(jnp.int32, (bm, m_pad), 1)
-        grp_row = jax.lax.broadcasted_iota(jnp.int32, (bm, m_pad), 0)
+        if not single:
+            lane_m = jax.lax.broadcasted_iota(jnp.int32, (bm, m_pad), 1)
+            grp_row = jax.lax.broadcasted_iota(jnp.int32, (bm, m_pad), 0)
 
         # hoist all per-particle transcendentals out of the sample loop:
         #   hard:  1[eps + a s > 0]  ==  1[u < sigmoid(a s)]
@@ -384,6 +450,33 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
                          precision=_PREC_LL)     # [1, bm]
             return ll, resid
 
+        def group_dw(resid):
+            """dW (wide): x^T resid / sigma^2 -> [d, wd]."""
+            return inv_var * jax.lax.dot_general(
+                cast(x), cast(resid),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC_GRAD,
+            )
+
+        def accumulate(ws_lane, wh_lane, resid_soft, resid_hard, g_soft,
+                       g_hard):
+            """Adds this group's weighted gradient contributions (weights
+            pre-expanded to wide lanes) into the output accumulators."""
+            dw_soft = group_dw(resid_soft)
+            dg = theta_t * dw_soft + logpdf_t
+            contrib_s = ws_lane * (tau * alpha * g_soft * (1.0 - g_soft) * dg)
+            dscores_ref[0] += jnp.dot(contrib_s, s_mat,
+                                      preferred_element_type=jnp.float32,
+                                      precision=_PREC_GRAD)
+
+            dw_hard = group_dw(resid_hard)
+            contrib_h = wh_lane * g_hard * (dw_hard + dprior_t)
+            dtheta_ref[0] += jnp.dot(contrib_h, s_mat,
+                                     preferred_element_type=jnp.float32,
+                                     precision=_PREC_GRAD)
+
+        neg_big = jnp.float32(-3.0e38)
+
         def body(grp, carry):
             m0 = grp * bm
             if debug_noise:
@@ -402,6 +495,36 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
 
             ll_soft, resid_soft = group_score(g_soft)
             ll_hard, resid_hard = group_score(g_hard)
+
+            if single:
+                # online softmax (flash-attention style; the scheme the
+                # nonlinear kernel validated in round 3): rescale the
+                # [d, d] accumulators when the running max advances,
+                # accumulate exp(ll - max)-weighted grads, divide by the
+                # normalizer after the last group.
+                m_soft, z_soft, m_hard, z_hard = carry
+                valid = (m0 + sample_iota) < n_real   # [1, bm]
+                ll_s = jnp.where(valid, ll_soft, neg_big)
+                ll_h = jnp.where(valid, ll_hard, neg_big)
+                new_m_s = jnp.maximum(m_soft, jnp.max(ll_s))
+                new_m_h = jnp.maximum(m_hard, jnp.max(ll_h))
+                scale_s = jnp.exp(m_soft - new_m_s)
+                scale_h = jnp.exp(m_hard - new_m_h)
+                w_smp_s = jnp.where(valid, jnp.exp(ll_s - new_m_s), 0.0)
+                w_smp_h = jnp.where(valid, jnp.exp(ll_h - new_m_h), 0.0)
+                z_soft = z_soft * scale_s + jnp.sum(w_smp_s)
+                z_hard = z_hard * scale_h + jnp.sum(w_smp_h)
+                ws_lane = jnp.dot(w_smp_s, b_mat.T,
+                                  preferred_element_type=jnp.float32,
+                                  precision=_PREC_GRAD)   # [1, wd]
+                wh_lane = jnp.dot(w_smp_h, b_mat.T,
+                                  preferred_element_type=jnp.float32,
+                                  precision=_PREC_GRAD)
+                dscores_ref[0] *= scale_s
+                dtheta_ref[0] *= scale_h
+                accumulate(ws_lane, wh_lane, resid_soft, resid_hard,
+                           g_soft, g_hard)
+                return new_m_s, z_soft, new_m_h, z_hard
 
             # [bm, m_pad] one-hot rows for this group's lanes
             one_hot = (lane_m == (m0 + grp_row)).astype(jnp.float32)
@@ -428,27 +551,25 @@ def _make_kernel(n_samples: int, tau: float, obs_noise: float, pass2: bool,
             wh_lane = jnp.dot(wh, b_mat.T,
                               preferred_element_type=jnp.float32, precision=_PREC_GRAD)
 
-            def group_dw(resid):
-                """dW (wide): x^T resid / sigma^2 -> [d, wd]."""
-                return inv_var * jax.lax.dot_general(
-                    cast(x), cast(resid),
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_PREC_GRAD,
-                )
-
-            dw_soft = group_dw(resid_soft)
-            dg = theta_t * dw_soft + logpdf_t
-            contrib_s = ws_lane * (tau * alpha * g_soft * (1.0 - g_soft) * dg)
-            dscores_ref[0] += jnp.dot(contrib_s, s_mat,
-                                      preferred_element_type=jnp.float32, precision=_PREC_GRAD)
-
-            dw_hard = group_dw(resid_hard)
-            contrib_h = wh_lane * g_hard * (dw_hard + dprior_t)
-            dtheta_ref[0] += jnp.dot(contrib_h, s_mat,
-                                     preferred_element_type=jnp.float32, precision=_PREC_GRAD)
+            accumulate(ws_lane, wh_lane, resid_soft, resid_hard, g_soft,
+                       g_hard)
             return carry
 
-        if pass2:
+        if single:
+            init = (neg_big, jnp.float32(0.0), neg_big, jnp.float32(0.0))
+            if debug_noise:
+                # static Python loop: grp stays a Python int, so the debug
+                # noise reads are static slices (tests only; n_groups tiny)
+                carry = init
+                for grp in range(n_groups):
+                    carry = body(grp, carry)
+                m_s, z_s, m_h, z_h = carry
+            else:
+                m_s, z_s, m_h, z_h = jax.lax.fori_loop(
+                    0, n_groups, body, init)
+            dscores_ref[0] = dscores_ref[0] / z_s
+            dtheta_ref[0] = dtheta_ref[0] / z_h
+        elif pass2:
             if debug_noise:
                 # static Python loop: grp stays a Python int, so the debug
                 # noise reads are static slices (tests only; n_groups tiny)
@@ -579,9 +700,49 @@ def _fused_pass2(seed, alpha, scores, theta, logpdf_theta, dprior_theta,
       w_soft, w_hard, *([] if noise is None else [noise]))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_samples", "n_real", "bm", "tau", "obs_noise",
+                     "interpret", "bf16"),
+)
+def _fused_single(seed, alpha, scores, theta, logpdf_theta, dprior_theta,
+                  x_pad, w_pad, noise=None, *, n_samples, n_real, bm, tau,
+                  obs_noise, interpret=False, bf16=False):
+    """One-pass sample-and-score-and-grad call (online softmax in-kernel;
+    no [P, M] log-prob round-trip through HBM/XLA)."""
+    p, d, _ = scores.shape
+    n_pad = x_pad.shape[0]
+    kernel = _make_kernel(n_samples, tau, obs_noise, pass2=True, bf16=bf16,
+                          block_m=bm, debug_noise=noise is not None,
+                          single=True, n_real=n_real)
+    in_specs = _particle_specs(d, True, n_pad)
+    if noise is not None:
+        in_specs.append(
+            pl.BlockSpec((1,) + noise.shape[1:], lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+    out_specs = [
+        pl.BlockSpec((1, d, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((p, d, d), jnp.float32),
+        jax.ShapeDtypeStruct((p, d, d), jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(p,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(seed, alpha, scores, theta, logpdf_theta, dprior_theta, x_pad, w_pad,
+      *([] if noise is None else [noise]))
+
+
 def fused_linear_estimators(
     *, zs, thetas, x, interv_mask, key, alpha, tau, n_samples, model,
     bf16: bool = False, seed_offset=0, interpret=False, debug_noise=None,
+    single_pass=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Computes ``(d scores [P, d, d], d theta [P, d, d])`` — the fused
     Z-likelihood (reparam) and Θ-likelihood MC estimates for
@@ -597,10 +758,13 @@ def fused_linear_estimators(
     """
     from dibs_tpu.ops.edges import edge_scores
 
+    if single_pass is None:
+        single_pass = _SINGLE_PASS
     p, d, _, _ = zs.shape
-    dp, bm, m_total = _pad_plan(d, n_samples)
-    _notice_compile(d, n_samples)
     n_obs = x.shape[0]
+    dp, bm, m_total = _pad_plan(d, n_samples, n_obs=n_obs,
+                                single=single_pass)
+    _notice_compile(d, n_samples)
     n_pad = _round_up(max(n_obs, _SUB), _SUB)
     x_pad = jnp.zeros((n_pad, dp), jnp.float32).at[:n_obs, :d].set(x)
     w_pad = jnp.zeros((n_pad, dp), jnp.float32).at[:n_obs, :d].set(
@@ -629,6 +793,19 @@ def fused_linear_estimators(
         + jnp.asarray(seed_offset, jnp.int32) * jnp.int32(1000003)
     ).reshape(1, 1)
     alpha_arr = jnp.asarray(alpha, jnp.float32).reshape(1, 1)
+
+    if single_pass:
+        dscores, dtheta = _fused_single(
+            seed, alpha_arr, scores, thetas_p, logpdf_theta, dprior_theta,
+            x_pad, w_pad, debug_noise,
+            n_samples=m_total, n_real=n_samples, bm=bm, tau=float(tau),
+            obs_noise=float(model.obs_noise), bf16=bf16,
+            interpret=interpret,
+        )
+        if dp != d:
+            dscores = dscores[:, :d, :d]
+            dtheta = dtheta[:, :d, :d]
+        return dscores, dtheta
 
     l_soft, l_hard = _fused_pass1(
         seed, alpha_arr, scores, thetas_p, logpdf_theta, x_pad, w_pad,

@@ -154,11 +154,11 @@ def sharded_fused_linear(*, zs, thetas, x, interv_mask, key, alpha, tau,
                          bf16: bool = False):
     """Runs the fused linear-Gaussian sample-and-score estimator per shard.
 
-    The whole two-pass scheme (scoring pass, per-particle softmax, gradient
-    pass) has no cross-particle coupling, so it runs entirely within each
-    shard; the ``[P_local, M]`` log-probability matrix never leaves the chip.
-    Seeding uses the global particle index, so the result is bitwise equal to
-    the unsharded call.
+    The whole kernel (single-pass online-softmax by default; the legacy
+    two-pass seed-replay scheme behind ``fused_linear._SINGLE_PASS``) has
+    no cross-particle coupling, so it runs entirely within each shard;
+    per-sample state never leaves the chip. Seeding uses the global
+    particle index, so the result is bitwise equal to the unsharded call.
     """
     from dibs_tpu.inference.fused_linear import fused_linear_estimators
 

@@ -121,6 +121,29 @@ def test_extreme_scale_advisory():
         config.set_pallas_enabled(None)
 
 
+def test_single_pass_plan_vmem_reduction():
+    """The single-pass kernel keeps the scoring-chain intermediates live
+    (dead code in the legacy pass 2), so its scoped-VMEM working set is
+    larger; _pad_plan halves the group width until the calibrated estimate
+    fits Mosaic's 16 MB scoped limit (measured on v5e at cfg4's d=30 /
+    N=600: wd=2048 OOMs at 17.85 MB, wd=1024 fits)."""
+    from dibs_tpu.inference.fused_linear import _single_vmem_fits
+
+    # cfg4 shape: the measured OOM — bm must halve from 64 (wd=2048)
+    dp, bm_full, _ = _pad_plan(30, 128, single=False)
+    assert (dp, bm_full) == (32, 64)
+    assert not _single_vmem_fits(600, dp, bm_full)  # the measured cliff
+    dp, bm, m_total = _pad_plan(30, 128, n_obs=600, single=True)
+    assert bm < bm_full and _single_vmem_fits(600, dp, bm)
+    assert m_total % bm == 0 and m_total >= 128
+
+    # cfg2 shape: plenty of headroom — the plan is unchanged
+    assert _pad_plan(20, 128, n_obs=100, single=True) == \
+        _pad_plan(20, 128, single=False)
+    # two-pass callers keep the full-width plan at any N
+    assert _pad_plan(30, 128, n_obs=600, single=False)[1] == bm_full
+
+
 def test_linear_gate_n_obs_vmem_budget():
     """Large-N datasets exceed the linear kernel's VMEM (measured opaque
     Mosaic compile failures on v5e at the 1024-lane wide plan: OK at

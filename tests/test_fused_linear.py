@@ -88,12 +88,13 @@ def _ll_joint(g, theta, x, w, model):
 
 
 @pytest.mark.heavy
+@pytest.mark.parametrize("single_pass", [True, False])
 @pytest.mark.parametrize("tau,scale", [
     (1.0, 1.0),    # fast_soft production path
     (1.0, 10.0),   # unstandardized-data regime
     (0.7, 1.0),    # generic sigmoid path
 ])
-def test_fused_linear_matches_autodiff(tau, scale):
+def test_fused_linear_matches_autodiff(tau, scale, single_pass):
     d, p, m, alpha = 6, 2, 20, 1.7
     n_obs = 12
     key = random.PRNGKey(0)
@@ -115,7 +116,8 @@ def test_fused_linear_matches_autodiff(tau, scale):
     dscores, dtheta = fused_linear_estimators(
         zs=zs, thetas=thetas, x=x, interv_mask=interv,
         key=random.PRNGKey(7), alpha=alpha, tau=tau, n_samples=m,
-        model=model, interpret=True, debug_noise=uniforms)
+        model=model, interpret=True, debug_noise=uniforms,
+        single_pass=single_pass)
 
     scores = edge_scores(zs)
     offdiag = 1.0 - jnp.eye(d)
@@ -193,7 +195,8 @@ def test_uniform_clamp_prevents_fast_soft_nan():
 
 
 @pytest.mark.heavy
-def test_centered_scoring_survives_extreme_data_scale():
+@pytest.mark.parametrize("single_pass", [True, False])
+def test_centered_scoring_survives_extreme_data_scale(single_pass):
     """The centered (delta) scoring scheme is the reason the fused linear
     kernel is scale-invariant: at data scale ~300 the absolute lls reach
     ~3e7 nats, where plain-f32 storage has multi-nat resolution and a
@@ -225,7 +228,8 @@ def test_centered_scoring_survives_extreme_data_scale():
     dscores, dtheta = fused_linear_estimators(
         zs=zs, thetas=thetas, x=x, interv_mask=interv,
         key=random.PRNGKey(7), alpha=alpha, tau=tau, n_samples=m,
-        model=model, interpret=True, debug_noise=uniforms)
+        model=model, interpret=True, debug_noise=uniforms,
+        single_pass=single_pass)
 
     # float64 closed-form reference (per-sample grads weighted by the
     # f64 softmax of the exact lls)
