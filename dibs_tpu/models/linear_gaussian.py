@@ -32,6 +32,11 @@ __all__ = ["BGe", "LinearGaussian"]
 
 _HI = jax.lax.Precision.HIGHEST
 
+# HBM budget (floats) for one chunk of masked [d, d] matrices in the
+# large-d XLA determinant fallback (see batched_node_log_marginal_
+# likelihoods): ~0.5 GB of intermediates per lax.map slice.
+_BGE_CHUNK_ELEMS = 2 ** 27
+
 
 class BGe:
     """Bayesian Gaussian equivalent (BGe) marginal likelihood ``log p(D | G)``.
@@ -211,11 +216,33 @@ class BGe:
             logdet_pa, logdet_paj = bge_logdet_pairs(r_mats, gs)
         else:
             eye = jnp.eye(d)
-            logdet_pa, logdet_paj = vmap(
-                lambda g: vmap(
-                    lambda j: masked_logdet_pd_pair(r_mats[j], g[:, j], eye[:, j])
-                )(jnp.arange(d))
-            )(gs)
+
+            def pairs_of(g_batch):
+                return vmap(
+                    lambda g: vmap(
+                        lambda j: masked_logdet_pd_pair(
+                            r_mats[j], g[:, j], eye[:, j])
+                    )(jnp.arange(d))
+                )(g_batch)
+
+            # large d: the masked-matrix batch is [B*d, d, d] floats
+            # (~107 GB at d=128, P=100, M=128) — chunk the graph batch so
+            # each slice stays ~0.5 GB of intermediates (the Pallas kernel
+            # never has this problem: its matrices live only in VMEM)
+            b = gs.shape[0]
+            per_chunk = max(1, _BGE_CHUNK_ELEMS // (d * d * d))
+            if d > 64 and b > per_chunk:
+                from jax import lax
+
+                n_chunks = -(-b // per_chunk)
+                b_pad = n_chunks * per_chunk
+                gs_pad = jnp.zeros((b_pad, d, d), gs.dtype).at[:b].set(gs)
+                ld_pa, ld_paj = lax.map(
+                    pairs_of, gs_pad.reshape(n_chunks, per_chunk, d, d))
+                logdet_pa = ld_pa.reshape(b_pad, d)[:b]
+                logdet_paj = ld_paj.reshape(b_pad, d)[:b]
+            else:
+                logdet_pa, logdet_paj = pairs_of(gs)
 
         small_t = (self.alpha_mu * (self.alpha_lambd - d - 1)) / (self.alpha_mu + 1)
         n = n_obs[None, :]  # [1, d]

@@ -152,14 +152,22 @@ def masked_logdet_pd_pair(m: jnp.ndarray, parents: jnp.ndarray,
       is cheap at this size; 102 vs 54 steps/s on the d=20 benchmark);
     * ``32 < d <= 64``: two plain eliminations — the permutation gather
       costs more than the second elimination (128 vs 182 ms at d=50);
-    * ``d > 64``: two Cholesky factorizations (see ``_GE_MAX_D``).
+    * ``d > 64``: ONE Cholesky of the permuted (j-last) masked matrix —
+      ``L``'s leading block factors the leading block, so both
+      determinants come from one factorization (round 4; the permutation
+      gather of ``m`` is sample-independent, so XLA hoists it out of the
+      MC-sample batch — unlike the ``32 < d <= 64`` elimination tier,
+      where the gather measured slower than the second elimination).
     """
     d = parents.shape[-1]
     if d > _GE_MAX_D:
-        return (
-            _chol_logdet(_masked_matrix(m, parents)),
-            _chol_logdet(_masked_matrix(m, parents + e_j)),
-        )
+        idx = jnp.arange(d)
+        perm = jnp.argsort(jnp.where(e_j > 0.5, d, idx))  # j last
+        m_p = m[perm][:, perm]
+        a = _masked_matrix(m_p, (parents + e_j)[perm])
+        log_diag = jnp.log(jnp.diagonal(jnp.linalg.cholesky(a)))
+        lead = 2.0 * jnp.sum(log_diag[: d - 1])
+        return lead, lead + 2.0 * log_diag[d - 1]
     if d > 32:
         return (
             _ge_logdet(_masked_matrix(m, parents)),

@@ -82,6 +82,34 @@ def test_bge_batched_node_scores_match_single_graph_path():
     )
 
 
+def test_bge_batched_chunked_large_d_equals_unchunked(monkeypatch):
+    """The large-d XLA fallback chunks the graph batch with lax.map (the
+    full masked-matrix batch is ~107 GB at d=128, P=100, M=128 — it cannot
+    materialize); the chunked scores must equal the unchunked vmap path,
+    including the zero-padded tail chunk."""
+    import dibs_tpu.models.linear_gaussian as lg
+
+    d, b = 72, 11  # d > _GE_MAX_D -> Cholesky tier; odd b forces padding
+    key = random.PRNGKey(3)
+    g_key, x_key = random.split(key)
+    x = random.normal(x_key, (40, d))
+    interv = jnp.zeros_like(x, dtype=jnp.int32)
+    model = BGe(n_vars=d)
+    gs = (random.uniform(g_key, (b, d, d)) < 0.2).astype(jnp.float32)
+    gs = gs * (1.0 - jnp.eye(d))
+
+    ref = model.batched_node_log_marginal_likelihoods(
+        gs=gs, x=x, interv_targets=interv)
+    # force chunking (4 graphs per chunk -> 3 chunks, 1 padded graph)
+    monkeypatch.setattr(lg, "_BGE_CHUNK_ELEMS", 4 * d * d * d)
+    chunked = model.batched_node_log_marginal_likelihoods(
+        gs=gs, x=x, interv_targets=interv)
+    assert chunked.shape == (b, d)
+    assert jnp.allclose(chunked, ref, rtol=1e-5, atol=1e-5), (
+        jnp.abs(chunked - ref).max()
+    )
+
+
 def test_bge_pairs_ill_conditioned_collinear_data():
     """Regression: bf16 MXU truncation of the bordered row/column.
 
