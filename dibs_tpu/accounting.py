@@ -27,7 +27,8 @@ from typing import Any, Dict, Optional
 
 __all__ = ["CHIP_PEAKS", "StepCost", "bge_step_cost", "linear_step_cost",
            "nonlinear_step_cost", "roofline", "xla_cost_analysis",
-           "ring_comm_model", "allgather_comm_model", "multichip_projection"]
+           "ring_comm_model", "allgather_comm_model", "multichip_projection",
+           "phase_roofline", "PHASE_CEILINGS"]
 
 CHIP_PEAKS = {
     "tpu_v5e": {
@@ -145,9 +146,12 @@ def bge_step_cost(*, d, n_obs, p, m, kmc=32, k=None) -> StepCost:
 def linear_step_cost(*, d, n_obs, p, m, kmc=32, k=None) -> StepCost:
     """JointDiBS + LinearGaussian, fused Pallas reparam path (configs 2/4/5).
 
-    Fused kernel: two passes (score + seed-replay gradient) over the MC
-    batch; per (particle, sample): masked-weight matmul ``[N, d] @ [d, d]``
-    forward and its two backward matmuls.
+    Fused kernel (round 4: ONE pass, online softmax): per (particle,
+    sample) one delta matmul ``[N, d] @ [d, d]`` forward and its two
+    backward matmuls, sampled once. (This model never counted the legacy
+    two-pass design's replayed sampling/forward, so the single-pass
+    change moves *measured* time toward the model — the r3 MFU figures
+    were computed against these same FLOPs.)
     """
     k = k or d
     phases = {}
@@ -287,6 +291,114 @@ def roofline(flops, bytes_, transc, seconds, chip="tpu_v5e",
 
 
 # --------------------------------------------------------------------------
+# Per-phase roofline (VERDICT r3 item 3): each phase's achieved TF/s
+# against the ceiling ITS precision class can reach on the MXU. The
+# step-level roofline hides where the gap lives; this itemizes it.
+#
+# Ceiling rationale per phase (v5e: bf16 197 TF/s; each extra MXU pass
+# divides it — fp32/HIGHEST = 6 passes ~ 33 TF/s effective for f32
+# operands, but XLA reports "fp32 peak" 49.2 = 197/4; we use the
+# published 49.2 for HIGHEST-class phases and 197/3 for HIGH (bf16x3)):
+#   fused_forward / fused_backward — the delta matmuls run single-pass
+#     DEFAULT (bf16 multiplies), but their [N, dp] @ [dp, wd] shape caps
+#     MXU row utilization at dp/128 at small d, so the honest ceiling is
+#     shape-scaled: 197 * min(dp, 128)/128.
+#   sampling — VPU/PRNG work, no MXU ceiling; modeled against VPU lanes.
+#   acyclicity_prior — [d, d] matmul chain at DEFAULT precision: 197
+#     scaled by d/128 row utilization.
+#   kernel_transport — HIGH precision (bf16x3): 197/3.
+#   bge_eliminations — serialized VPU vector chain; ceiling = VPU f32
+#     throughput (see VPU_F32_TOPS).
+# --------------------------------------------------------------------------
+
+# v5e VPU: 8 sublanes x 128 lanes x 4 ALUs per core @ ~0.94 GHz ~ 3.9
+# Tf32-op/s. Used as the ceiling for elementwise/PRNG-bound phases.
+VPU_F32_TOPS = 3.9
+
+
+def PHASE_CEILINGS(d: int, chip: str = "tpu_v5e") -> Dict[str, float]:
+    peaks = CHIP_PEAKS[chip]
+    bf16 = peaks["bf16_tflops"]
+    fp32 = peaks["fp32_tflops"]
+    row_util = min(max(d, 1), 128) / 128.0
+    return {
+        "fused_forward": bf16 * row_util,
+        "fused_backward": bf16 * row_util,
+        "sampling_in_kernel": VPU_F32_TOPS,
+        "sampling": VPU_F32_TOPS,
+        "acyclicity_prior": bf16 * row_util,
+        "kernel_transport": bf16 / 3.0,
+        "bge_eliminations": VPU_F32_TOPS,
+        "bge_gamma_terms": VPU_F32_TOPS,
+        "reinforce_dir": fp32,
+    }
+
+
+def phase_roofline(cost: "StepCost", measured_ms: Dict[str, float],
+                   d: int, chip: str = "tpu_v5e"):
+    """Per-phase achieved TF/s vs that phase's ceiling.
+
+    ``measured_ms`` maps a measured-time label to (milliseconds, tuple of
+    model phase names it covers). Returns a list of row dicts
+    (label, ms, gflop, achieved TF/s, ceiling TF/s, pct, gap x).
+    """
+    ceils = PHASE_CEILINGS(d, chip)
+    rows = []
+    for label, (ms, phase_names) in measured_ms.items():
+        gflop = sum(cost.phases.get(p, 0.0) for p in phase_names) / 1e9
+        ceil = min(ceils.get(p, CHIP_PEAKS[chip]["fp32_tflops"])
+                   for p in phase_names)
+        ach = gflop / max(ms, 1e-9)  # GFLOP / ms == TF/s
+        rows.append({
+            "phase": label, "ms": round(ms, 3), "gflop": round(gflop, 2),
+            "achieved_tfs": round(ach, 2), "ceiling_tfs": round(ceil, 1),
+            "pct_of_ceiling": round(100.0 * ach / ceil, 1),
+            "gap_x": round(ceil / max(ach, 1e-9), 2),
+        })
+    return rows
+
+
+# --------------------------------------------------------------------------
+# VPU work model for the small-d fused kernels (VERDICT r3 item 1).
+#
+# The step-level MFU metric counts MXU FLOPs only; at d=20 the fused
+# kernels' time is dominated by VPU *elementwise* work (PRNG draws,
+# sampling transforms, residual/score epilogues) whose lane-op count
+# scales linearly in the sample batch — which is why fleet batching
+# cannot amortize it (FLEET_SCALING.json: per-dataset marginal cost at
+# B=8 equals the standalone step). These counters turn "op/latency-
+# bound, 2-5% MFU" into the honest label: VPU-throughput-bound at the
+# counted fraction of VPU peak.
+# --------------------------------------------------------------------------
+
+
+def linear_kernel_vpu_ops(*, d, n_obs, p, m) -> float:
+    """f32 lane-ops of the single-pass fused linear kernel's elementwise
+    work per SVGD step (PRNG ~8 ops/lane over [2, dp, wd]; sampling ~10;
+    scoring/residual chains ~14 per [N_pad, wd] lane; epilogues ~9 per
+    [dp, wd] lane), counted from the kernel body at the padded shapes."""
+    dp = 16
+    while dp < min(d, 128):
+        dp *= 2
+    if d > 128:
+        dp = ((d + 127) // 128) * 128
+    n_pad = ((max(n_obs, 8) + 7) // 8) * 8
+    per_sample = 31.0 * dp * dp + 14.0 * n_pad * dp
+    return p * m * per_sample
+
+
+def bge_kernel_vpu_ops(*, d, p, m) -> float:
+    """f32 lane-ops of the lane-batched bordered-Schur BGe kernel per
+    step: the masked build (~4 ops x d columns) plus the elimination
+    sweep (~3 ops per remaining column per pivot, ~d^2/2 column-updates),
+    each on [d, TILE] tiles — per matrix ~(4 d^2 + 1.5 d^2 (d+1)/...)
+    ~ 1.5 d^3 lane-ops dominated by the sweep."""
+    b = p * m * d  # determinant pairs
+    per_matrix = 4.0 * d * d + 1.5 * d * d * d / 2.0 * 2.0
+    return b * per_matrix
+
+
+# --------------------------------------------------------------------------
 # Multi-chip performance model (VERDICT r3 item 2)
 #
 # Real multi-chip hardware is unavailable in this environment; the virtual
@@ -343,9 +455,16 @@ def allgather_comm_model(*, p, n_dev, z_dim, theta_dim=0, dtype_bytes=4.0
     return {"bytes_per_device": recv, "bytes_total": recv * n_dev}
 
 
+# one ppermute round's launch+hop latency (cannot overlap with compute;
+# dominates the ring cost for tiny payloads — the small-d configs)
+ICI_ROUND_LATENCY_S = 2e-6
+
+
 def multichip_projection(*, seconds_1chip, p, n_dev, z_dim, theta_dim=0,
                          transport_frac, t_fixed=0.0, weak=False,
-                         chip="tpu_v5e", ici_gbps=None) -> Dict[str, Any]:
+                         chip="tpu_v5e", ici_gbps=None,
+                         round_latency_s=ICI_ROUND_LATENCY_S
+                         ) -> Dict[str, Any]:
     """Projected per-step time and scaling efficiency at ``n_dev`` chips.
 
     Args:
@@ -394,8 +513,9 @@ def multichip_projection(*, seconds_1chip, p, n_dev, z_dim, theta_dim=0,
     rounds = comm["rounds"]
     per_round_comm = comm["block_bytes"] / bw
     per_round_tile = t_tr / max(n_dev, 1)  # N tile steps per ring pass
-    exposed = rounds * max(0.0, per_round_comm - per_round_tile)
-    t_comm_full = rounds * per_round_comm
+    exposed = rounds * (max(0.0, per_round_comm - per_round_tile)
+                        + round_latency_s)
+    t_comm_full = rounds * (per_round_comm + round_latency_s)
 
     t_step = t_fixed + t_other + t_tr + exposed
     t_step_no_overlap = t_fixed + t_other + t_tr + t_comm_full

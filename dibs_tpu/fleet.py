@@ -2,15 +2,21 @@
 
 BEYOND-REFERENCE capability. Production structure-learning workloads are
 often fleets of small problems (per-gene-module networks, per-segment
-causal models) rather than one large graph, and at small ``d`` a single
-SVGD run cannot fill a TPU (the d=20 configs are op/latency-bound at ~3%
-MFU — benchmarks/RESULTS.md). ``fleet_sample`` runs ONE engine's SVGD on
-``B`` independent same-shaped datasets in a single XLA program by
-vmapping the whole step over the dataset axis, and optionally shards that
-axis over a ``jax.sharding.Mesh``. Datasets are *fully* independent — no
-cross-dataset coupling exists anywhere (unlike the particle axis, whose
-[P, P] SVGD kernel couples shards), so mesh scaling is embarrassingly
-parallel: each chip runs its local datasets with zero collectives.
+causal models) rather than one large graph. ``fleet_sample`` runs ONE
+engine's SVGD on ``B`` independent same-shaped datasets in a single XLA
+program by vmapping the whole step over the dataset axis, and optionally
+shards that axis over a ``jax.sharding.Mesh``. Datasets are *fully*
+independent — no cross-dataset coupling exists anywhere (unlike the
+particle axis, whose [P, P] SVGD kernel couples shards), so mesh scaling
+is embarrassingly parallel: each chip runs its local datasets with zero
+collectives.
+
+Single-chip expectations (measured, benchmarks/FLEET_SCALING.json): the
+d=20 engines are VPU/MXU-THROUGHPUT-bound, so fleet batching does not
+beat running problems serially on one chip (aggregate at B=8 measured
+~0.8x serial; per-dataset cost is linear in B with r^2 > 0.998). Use
+fleet for one-program convenience, and for throughput use the
+``datasets`` mesh axis across chips.
 
 The engine's fused Pallas kernels compose with the dataset vmap (the
 batch dimension joins the Pallas grid; validated on hardware) and with

@@ -107,6 +107,8 @@ def main():
     # shorter chains keep each timed execution under the worker watchdog
     n_chain = 5 if args.config == 5 else 20
 
+    phase_ms = {}
+
     # --- sampling ---
     def samp(z_):
         g_all = sample_hard_graphs(edge_scores(z_), keys[0], alpha,
@@ -159,6 +161,11 @@ def main():
             return z_ + leaf.mean() * 1e-20
         ms = chain_time(tlik, z, n=n_chain)
         print(f"theta estimator (or fused both): {ms*1e3:8.3f} ms")
+        if est.fused_grad_both is not None:
+            phase_ms["fused_kernel"] = (
+                ms * 1e3,
+                ("fused_forward", "fused_backward", "sampling_in_kernel"),
+            )
 
     # --- prior score ---
     def prior(z_):
@@ -167,6 +174,7 @@ def main():
         return z_ + dz * 1e-20
     ms = chain_time(prior, z, n=n_chain)
     print(f"prior + acyclicity score:        {ms*1e3:8.3f} ms")
+    phase_ms["prior_acyclicity"] = (ms * 1e3, ("acyclicity_prior",))
 
     # --- transport ---
     from dibs_tpu.inference.transport import joint_transport, marginal_transport
@@ -180,6 +188,7 @@ def main():
             return z_ + phi_z * 1e-20
     ms = chain_time(trans, z, n=n_chain)
     print(f"kernel matrix + transport:       {ms*1e3:8.3f} ms")
+    phase_ms["transport"] = (ms * 1e3, ("kernel_transport",))
 
     # --- full step ---
     step = dibs._make_step(dibs._resolve_latent_std(z.shape[2]))
@@ -217,6 +226,23 @@ def main():
           f"(headroom {row['headroom_x']}x)")
     print("phase GFLOPs:", {k: round(v / 1e9, 2)
                             for k, v in cost.phases.items()})
+
+    # --- per-phase roofline (VERDICT r3 item 3) ---
+    # Measured phase times come from the dependent-chain method, which
+    # pays per-call dispatch the fori_loop step amortizes — treat the
+    # pct-of-ceiling as a lower bound at small configs; at config 5 the
+    # phases are ms-scale and the chain overhead is a small fraction.
+    if phase_ms:
+        from dibs_tpu.accounting import phase_roofline
+
+        print("\nper-phase roofline (achieved vs the phase's own "
+              "precision/shape ceiling):")
+        for row in phase_roofline(cost, phase_ms, d=d):
+            print(f"  {row['phase']:<18} {row['ms']:8.3f} ms "
+                  f"{row['gflop']:9.2f} GF  {row['achieved_tfs']:7.2f} TF/s "
+                  f"/ ceil {row['ceiling_tfs']:6.1f}  "
+                  f"({row['pct_of_ceiling']:5.1f}%, gap "
+                  f"{row['gap_x']}x)")
 
 
 if __name__ == "__main__":

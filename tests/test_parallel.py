@@ -340,14 +340,22 @@ def test_multichip_comm_model():
     # payload (both receive everyone else's block once)
     assert abs(ag["bytes_per_device"] - ring["bytes_per_device"]) < 1e-6
 
-    # strong scaling: with no fixed overhead and no comm exposure the
-    # projection approaches perfect 1/N
+    # strong scaling: with no fixed overhead, no comm exposure, and no
+    # per-round latency the projection approaches perfect 1/N
     proj = multichip_projection(
         seconds_1chip=0.05, p=p, n_dev=n, z_dim=zd, theta_dim=td,
         transport_frac=0.3, t_fixed=0.0, ici_gbps=1e9,  # infinite ICI
+        round_latency_s=0.0,
     )
     assert abs(proj["t_step"] - 0.05 / n) < 1e-9
     assert abs(proj["efficiency"] - 1.0) < 1e-6
+
+    # the default per-round ppermute latency strictly reduces efficiency
+    proj_lat = multichip_projection(
+        seconds_1chip=0.05, p=p, n_dev=n, z_dim=zd, theta_dim=td,
+        transport_frac=0.3, t_fixed=0.0, ici_gbps=1e9,
+    )
+    assert proj_lat["efficiency"] < proj["efficiency"]
 
     # a pure-fixed-overhead config cannot scale
     proj2 = multichip_projection(
