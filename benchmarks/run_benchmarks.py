@@ -185,7 +185,34 @@ def config_5(quality, n_particles=1000, n_vars=128):
             "steps_per_sec": sps, "compile_s": compile_s}
 
 
-CONFIGS = {1: config_1, 2: config_2, 3: config_3, 4: config_4, 5: config_5}
+def config_6(quality, n_particles=100, n_vars=128, m=64):
+    """Marginal BGe at scale: d=128, P=100 (VERDICT r3 item 4).
+
+    The reference's hardest numeric path (linearGaussian.py:63-144,
+    O(M P d * d^3) determinant work per step) at production d. Runs the
+    lane-batched Pallas elimination kernel's round-4 d<=128 tier
+    (ops/bge_kernel.py, TILE=128); with the kernel disabled it falls to
+    the chunked one-Cholesky-per-pair XLA path (ops/logdet.py d>64 tier
+    + lax.map chunking in models/linear_gaussian.py — 42.9x slower on
+    the determinant batch, see RESULTS.md round-4). M=64 keeps the
+    per-step determinant count at 819k (d=20 runs 77k)."""
+    del quality  # throughput-only config (N=100 rows underdetermine d=128)
+    key = random.PRNGKey(123)
+    key, subk = random.split(key)
+    data, gm, lm = make_linear_gaussian_equivalent_model(
+        key=subk, n_vars=n_vars, graph_prior_str="sf"
+    )
+    dibs = MarginalDiBS(
+        x=data.x, graph_model=gm, likelihood_model=lm,
+        n_grad_mc_samples=m, n_acyclicity_mc_samples=8,
+    )
+    sps, compile_s = time_steps_per_sec(dibs, n_particles, chunk=2, repeats=2)
+    return {"config": f"marginal_bge_d{n_vars}_p{n_particles}_m{m}",
+            "steps_per_sec": sps, "compile_s": compile_s}
+
+
+CONFIGS = {1: config_1, 2: config_2, 3: config_3, 4: config_4, 5: config_5,
+           6: config_6}
 
 
 def main():

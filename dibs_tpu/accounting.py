@@ -346,8 +346,14 @@ def phase_roofline(cost: "StepCost", measured_ms: Dict[str, float],
     rows = []
     for label, (ms, phase_names) in measured_ms.items():
         gflop = sum(cost.phases.get(p, 0.0) for p in phase_names) / 1e9
-        ceil = min(ceils.get(p, CHIP_PEAKS[chip]["fp32_tflops"])
-                   for p in phase_names)
+        # FLOP-weighted harmonic ceiling: the minimum time the covered
+        # phases could take if each ran at its own ceiling
+        t_floor_ms = sum(
+            (cost.phases.get(p, 0.0) / 1e9)
+            / ceils.get(p, CHIP_PEAKS[chip]["fp32_tflops"])
+            for p in phase_names
+        )
+        ceil = gflop / max(t_floor_ms, 1e-12)
         ach = gflop / max(ms, 1e-9)  # GFLOP / ms == TF/s
         rows.append({
             "phase": label, "ms": round(ms, 3), "gflop": round(gflop, 2),

@@ -66,10 +66,21 @@ _TILE = 256  # matrices eliminated per grid cell (lane-dim batch)
 # ([d, TILE] tiles already span multiple vregs), so wider tiles trade
 # proportionally more cycles per op for fewer ops. 256 stays.
 
-# VMEM guard: the resident state is [d, d, TILE] f32 (~d^2 * 1 KB at
-# TILE=256); past d=64 the unrolled elimination also stops beating XLA's
-# blocked Cholesky (see ops/logdet._GE_MAX_D).
-_MAX_D = 64
+# Round 4: the d <= 64 cap was justified by the XLA elimination's
+# HBM-rewrite crossover (ops/logdet._GE_MAX_D), which does NOT apply to
+# this VMEM-resident kernel — its traffic is masks-in/scalars-out at any
+# d. Past 64 the TILE halves so the [d, d, TILE] scratch stays under
+# VMEM (d=128: 8.4 MB at TILE=128), and the cap moves to 128. Measured
+# at the d=128 marginal config: the XLA batched-Cholesky path runs 819k
+# [128, 128] factorizations at ~0.1% of peak (12 s/step — tiny-matrix
+# Cholesky is loop/latency-bound on TPU); this kernel's lock-step
+# lane-batched elimination is the difference between that and a usable
+# large-d marginal engine (see benchmarks/RESULTS.md round-4).
+_MAX_D = 128
+
+
+def _tile_for(d: int) -> int:
+    return _TILE if d <= 64 else 128
 
 
 def bge_pallas_available(d: int) -> bool:
@@ -141,7 +152,8 @@ def _bge_pair_kernel(r_ref, e_ref, gt_ref, out_pa_ref, out_full_ref, a_ref):
 def _bge_pairs_padded(r_mats, gs_t, interpret=False):
     d = r_mats.shape[0]
     b = gs_t.shape[2]
-    grid = (d, b // _TILE)
+    tile = _tile_for(d)
+    grid = (d, b // tile)
     # singleton middle axes keep every block's trailing two dims either
     # equal to the array's or (8, 128)-tileable (Mosaic block constraint)
     eye = jnp.eye(d, dtype=jnp.float32)[:, None, :]  # [d, 1, d]
@@ -153,20 +165,20 @@ def _bge_pairs_padded(r_mats, gs_t, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, d), lambda j, t: (j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, _TILE), lambda j, t: (j, 0, t),
+            pl.BlockSpec((1, d, tile), lambda j, t: (j, 0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, _TILE), lambda j, t: (j, 0, t),
+            pl.BlockSpec((1, 1, tile), lambda j, t: (j, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _TILE), lambda j, t: (j, 0, t),
+            pl.BlockSpec((1, 1, tile), lambda j, t: (j, 0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((d, 1, b), jnp.float32),
             jax.ShapeDtypeStruct((d, 1, b), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((d, d, _TILE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((d, d, tile), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=b * d * d * d,
             bytes_accessed=4 * (d * b + 2 * d * b),
@@ -196,7 +208,8 @@ def bge_logdet_pairs(r_mats: jnp.ndarray, gs: jnp.ndarray,
     """
     b, d, _ = gs.shape
     gs = jax.lax.stop_gradient(gs)
-    bp = ((b + _TILE - 1) // _TILE) * _TILE
+    tile = _tile_for(d)
+    bp = ((b + tile - 1) // tile) * tile
     # [B, d, d] -> [d(node j), d(parent row), B]; padded graphs are all-zero
     # masks -> identity matrices -> logdets 0, sliced away below
     gs_t = jnp.transpose(gs, (2, 1, 0))

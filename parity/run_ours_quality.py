@@ -39,7 +39,7 @@ from dibs_tpu.target import make_graph_model  # noqa: E402
 RESULTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
 
 
-def build_config(idx, seed, grad_estimator_z=None):
+def build_config(idx, seed, grad_estimator_z=None, n_grad_mc_samples=None):
     """Builds dibs-tpu models on the reference-generated data."""
     path = os.path.join(RESULTS_DIR, f"data_cfg{idx}_seed{seed}.npz")
     if not os.path.exists(path):
@@ -54,6 +54,8 @@ def build_config(idx, seed, grad_estimator_z=None):
         kw = {}
         if grad_estimator_z:
             kw["grad_estimator_z"] = grad_estimator_z
+        if n_grad_mc_samples:
+            kw["n_grad_mc_samples"] = n_grad_mc_samples
         dibs = MarginalDiBS(x=x, graph_model=gm,
                             likelihood_model=BGe(n_vars=n_vars), **kw)
         return dibs, g, x_ho, 30, {"kind": "marginal"}

@@ -82,6 +82,35 @@ def test_bge_batched_node_scores_match_single_graph_path():
     )
 
 
+@pytest.mark.heavy  # the unrolled d=72 elimination compiles ~3-4 min on CPU
+def test_bge_kernel_large_d_tile128_tier():
+    """Round 4: the lane-batched kernel's d > 64 tier (TILE halves to 128
+    so the [d, d, TILE] scratch fits VMEM). The d <= 64 cap came from the
+    XLA elimination's HBM-rewrite crossover, which never applied to the
+    VMEM-resident kernel; at d=128 on hardware it measures 280 ms vs the
+    chunked-Cholesky path's 12,014 ms for the cfg6 determinant batch
+    (max abs err 1.8e-4). Interpret mode pins the math here."""
+    from dibs_tpu.ops.bge_kernel import _tile_for, bge_logdet_pairs
+
+    d, b = 72, 12
+    assert _tile_for(d) == 128 and _tile_for(64) == 256
+    k1, k2 = random.split(random.PRNGKey(0))
+    a = random.normal(k1, (d, d))
+    base = a @ a.T + d * jnp.eye(d)
+    r_mats = jnp.stack([base + 0.1 * i * jnp.eye(d) for i in range(d)])
+    gs = (random.uniform(k2, (b, d, d)) < 0.3).astype(jnp.float32) \
+        * (1 - jnp.eye(d))
+    pa, full = bge_logdet_pairs(r_mats, gs, interpret=True)
+    eye = jnp.eye(d)
+    ref_pa, ref_full = vmap(lambda g: vmap(
+        lambda j: masked_logdet_pd_pair(r_mats[j], g[:, j], eye[:, j])
+    )(jnp.arange(d)))(gs)
+    assert jnp.allclose(pa, ref_pa, atol=1e-3), jnp.abs(pa - ref_pa).max()
+    assert jnp.allclose(full, ref_full, atol=1e-3), (
+        jnp.abs(full - ref_full).max()
+    )
+
+
 def test_bge_batched_chunked_large_d_equals_unchunked(monkeypatch):
     """The large-d XLA fallback chunks the graph batch with lax.map (the
     full masked-matrix batch is ~107 GB at d=128, P=100, M=128 — it cannot
