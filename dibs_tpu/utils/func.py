@@ -12,6 +12,7 @@ leading batch dimensions where documented.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax.tree_util import tree_map, tree_reduce
 
@@ -71,7 +72,12 @@ def pytree_sq_norm_matrix(xs, ys) -> jnp.ndarray:
         b = yl.reshape(yl.shape[0], -1)
         a_sq = jnp.sum(a * a, axis=-1)
         b_sq = jnp.sum(b * b, axis=-1)
-        cross = a @ b.T
+        # HIGHEST: the result feeds exp(-sq / h); at production feature
+        # counts (d=128 joint: n=32768, ||x||^2 ~ 3e4) a bf16 single-pass
+        # matmul carries O(100) absolute error, which is exponentially
+        # amplified — the diagonal (exact 0) comes out at +-hundreds. The
+        # Pallas SE kernel accumulates at HIGHEST; the XLA form must match.
+        cross = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
         return a_sq[:, None] + b_sq[None, :] - 2.0 * cross
 
     per_leaf = tree_map(leaf_sqdist, xs, ys)

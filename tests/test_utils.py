@@ -51,6 +51,37 @@ def test_pytree_sq_norm_matrix_matches_direct():
             assert jnp.allclose(mat[i, j], direct, atol=1e-4)
 
 
+def test_pytree_sq_norm_matrix_pinned_precision():
+    """The Gram cross-term must not inherit the backend's default matmul
+    precision: on TPU the default is a single bf16 pass, whose O(100)
+    absolute error at production feature counts (d=128 joint: n=32768,
+    ||x||^2 ~ 3e4) is exponentially amplified by the downstream
+    exp(-sq / h) — the diagonal (exact 0) came out at +-hundreds on the
+    XLA-gram fallback (round-4 transport bench). CPU executes f32
+    regardless of the precision hint, so this is a structural check on
+    the trace: the dot must carry an explicit HIGHEST precision rather
+    than None (= backend default)."""
+    import jax
+
+    xs = random.normal(random.PRNGKey(7), (4, 64))
+    # conftest pins jax_default_matmul_precision='highest', which would be
+    # baked into every traced dot and make this check vacuous — clear it
+    # so a precision=None dot (the pre-fix bug) is visible in the trace.
+    prev = jax.config.jax_default_matmul_precision
+    jax.config.update("jax_default_matmul_precision", None)
+    try:
+        jaxpr = jax.make_jaxpr(lambda a: pytree_sq_norm_matrix(a, a))(xs)
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
+    dots = [eqn for eqn in jaxpr.jaxpr.eqns
+            if eqn.primitive.name == "dot_general"]
+    assert dots, "expected the Gram form to lower to a dot_general"
+    for eqn in dots:
+        prec = eqn.params["precision"]
+        flat = prec if isinstance(prec, tuple) else (prec,)
+        assert all(p == jax.lax.Precision.HIGHEST for p in flat), prec
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_masked_slogdet_vs_dense_submatrix(seed):
     key = random.PRNGKey(seed)
