@@ -28,6 +28,13 @@ from dibs_tpu.utils.func import pytree_sq_norm_matrix, squared_norm_pytree
 
 __all__ = ["AdditiveFrobeniusSEKernel", "JointAdditiveFrobeniusSEKernel"]
 
+# Auto-dispatch crossover for the SE kernel matrix (measured on TPU v5e:
+# benchmarks/SE_CROSSOVER{,2}.json + end-to-end A/Bs; see _se_matrix).
+# Pallas serves one-padded-tile outputs with modest reductions; the XLA
+# Gram form serves everything larger.
+_PALLAS_SE_MAX_ROWS = 128
+_PALLAS_SE_MAX_FEATURES = 8192
+
 
 def _flatten_rows(tree) -> jnp.ndarray:
     """Flattens a batched pytree to ``[batch, n]`` (concat over leaves)."""
@@ -65,7 +72,31 @@ def _se_matrix(xs, ys, h, scale, use_pallas, sharding=None):
         sq = pytree_sq_norm_matrix(xs, ys)
         return scale * jnp.exp(-sq / _median_bandwidth(sq))
     if use_pallas is None:
-        use_pallas = pallas_enabled()
+        # Auto dispatch, measured on TPU both standalone
+        # (benchmarks/SE_CROSSOVER.json) and inside a jitted chain
+        # (SE_CROSSOVER2.json) plus end-to-end A/Bs:
+        #   * SMALL shapes (P <= 128 rows, n <= 8192 features — one padded
+        #     output tile, modest reduction): the fused Pallas kernel wins;
+        #     the XLA form's unfused reduce/broadcast/exp epilogue costs
+        #     ~20-30 us per evaluation in-program vs ~5 us fused (3-16% of
+        #     a whole d=20/30 step).
+        #   * LARGE shapes (P >= 256 or huge n): the plain XLA Gram form
+        #     with the cross-term at HIGHEST wins 1.4-2.3x — the [P, P]
+        #     matrix the kernel avoids rematerializing is tiny next to the
+        #     [P, n] operands, and XLA tiles the big matmul better than
+        #     Mosaic (cfg5 end-to-end: 20.5 -> 22.1 steps/s).
+        #   * MESH-SHARDED particle axis: always the Pallas shard_map path,
+        #     which computes [P_local, P] row blocks against the gathered
+        #     opposite side instead of letting GSPMD replicate both
+        #     operands.
+        if sharding is not None:
+            use_pallas = pallas_enabled()
+        else:
+            leaves_x, leaves_y = tree_leaves(xs), tree_leaves(ys)
+            rows = max(leaves_x[0].shape[0], leaves_y[0].shape[0])
+            n_feat = sum(leaf[0].size for leaf in leaves_x)
+            use_pallas = (pallas_enabled() and rows <= _PALLAS_SE_MAX_ROWS
+                          and n_feat <= _PALLAS_SE_MAX_FEATURES)
     if use_pallas:
         x_rows, y_rows = _flatten_rows(xs), _flatten_rows(ys)
         if sharding is not None:
@@ -107,8 +138,8 @@ class AdditiveFrobeniusSEKernel:
         return self.scale * jnp.exp(-jnp.sum((x - y) ** 2.0) / self.h)
 
     def matrix(self, xs, ys):
-        """Pairwise kernel matrix ``[A, B]``: fused Pallas kernel on TPU,
-        Gram-form XLA matmul elsewhere."""
+        """Pairwise kernel matrix ``[A, B]``: Gram-form XLA matmul (HIGHEST)
+        on one chip, fused Pallas row blocks per shard when mesh-sharded."""
         return _se_matrix(xs, ys, self.h, self.scale, self.use_pallas,
                           self.sharding)
 

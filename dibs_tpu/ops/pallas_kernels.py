@@ -8,10 +8,17 @@ as a single fused kernel: the pairwise squared distances accumulate in VMEM
 scratch from tiled Gram matmuls on the MXU (``||x||^2 + ||y||^2 - 2 x·y``
 per feature chunk) and the ``exp`` epilogue is applied in-register before the
 tile is written back — the ``[A, B]`` distance matrix is never materialized
-in HBM. The unfused XLA path (matmul, then broadcast-add, then exp) writes
-and re-reads the distance matrix; for the SVGD engine this kernel is the
-building block that keeps the particle-particle coupling HBM-light at large
-particle counts (BASELINE.md config 5: 1000 particles).
+in HBM. Crossover (measured, benchmarks/SE_CROSSOVER{,2}.json): this kernel
+wins at SMALL shapes (<= 128 rows, <= 8192 features — one padded output
+tile, where XLA's unfused reduce/broadcast/exp epilogue costs ~20-30 us per
+evaluation vs ~5 us fused); at LARGE shapes the plain XLA Gram form with
+the cross-term at HIGHEST wins 1.4-2.3x (the [A, B] matrix this kernel
+avoids rematerializing is tiny next to the [A, n] operands, and XLA tiles
+the big matmul better than Mosaic). The engine's auto dispatch
+(dibs_tpu/kernel.py) encodes that boundary, and always uses this kernel on
+the MESH-SHARDED path, where its shard_map wrapper computes [P_local, P]
+row blocks and avoids GSPMD replicating both operand matrices (see
+parallel/shard_ops.py).
 
 Grid layout: ``(A/BA, B/BB, n/BN)`` with the feature axis innermost so each
 output tile's accumulator lives in VMEM across the whole reduction.

@@ -81,7 +81,16 @@ def pytree_sq_norm_matrix(xs, ys) -> jnp.ndarray:
         return a_sq[:, None] + b_sq[None, :] - 2.0 * cross
 
     per_leaf = tree_map(leaf_sqdist, xs, ys)
-    return tree_reduce(jnp.add, per_leaf)
+    total = tree_reduce(jnp.add, per_leaf)
+    # Squared distances are nonnegative; Gram-form cancellation can leave
+    # small negatives (and a noisy diagonal). Clamp, and when both sides are
+    # the SAME pytree (the SVGD K(particles, particles) case — checked by
+    # object identity at trace time) pin the self-distances to exactly 0,
+    # matching the reference's pairwise ||x - x||^2 = 0.
+    total = jnp.maximum(total, 0.0)
+    if xs is ys and total.ndim == 2 and total.shape[0] == total.shape[1]:
+        total = total * (1.0 - jnp.eye(total.shape[0], dtype=total.dtype))
+    return total
 
 
 def masked_logdet_pd(m: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

@@ -51,6 +51,66 @@ def test_pytree_sq_norm_matrix_matches_direct():
             assert jnp.allclose(mat[i, j], direct, atol=1e-4)
 
 
+def test_pytree_sq_norm_matrix_self_diagonal_exact():
+    """When both sides are the SAME pytree (the SVGD K(particles,
+    particles) case), the self-distances must be exactly 0 — Gram-form
+    cancellation noise on the diagonal is exponentially amplified by the
+    downstream exp(-sq / h). The reference's pairwise ||x - x||^2 is
+    exactly 0; the Gram form must match. Distances must also be clamped
+    nonnegative everywhere."""
+    xs = {"w": random.normal(random.PRNGKey(3), (6, 64)) * 50.0}
+    mat = pytree_sq_norm_matrix(xs, xs)
+    assert jnp.all(jnp.diag(mat) == 0.0)
+    assert jnp.all(mat >= 0.0)
+    # distinct-object sides keep the raw (clamped) Gram values
+    ys = {"w": xs["w"] + 0.0}
+    mat2 = pytree_sq_norm_matrix(xs, ys)
+    assert jnp.all(mat2 >= 0.0)
+
+
+def test_se_matrix_auto_dispatch_crossover():
+    """Auto dispatch must follow the measured crossover
+    (benchmarks/SE_CROSSOVER{,2}.json): fused Pallas at small shapes
+    (<=128 rows, <=8192 features), XLA Gram at large shapes. Structural
+    check on the trace with Pallas force-enabled (CPU can trace
+    pallas_call even though it cannot run it)."""
+    import jax
+
+    from dibs_tpu import config
+    from dibs_tpu.kernel import _se_matrix
+    from dibs_tpu.ops.pallas_kernels import pallas_enabled
+
+    def collect(jaxpr, acc):
+        for eqn in jaxpr.eqns:
+            acc.add(eqn.primitive.name)
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):  # closed sub-jaxprs (jit, scan, ...)
+                    collect(v.jaxpr, acc)
+                elif hasattr(v, "eqns"):
+                    collect(v, acc)
+        return acc
+
+    def prims_for(shape):
+        xs = jnp.zeros(shape)
+        jaxpr = jax.make_jaxpr(
+            lambda a: _se_matrix(a, a, 5.0, 1.0, None, None)
+        )(xs)
+        return collect(jaxpr.jaxpr, set())
+
+    prev = config.pallas_override()
+    config.set_pallas_enabled(True)
+    try:
+        assert pallas_enabled()
+        small = prims_for((30, 800))       # cfg1/2 z: Pallas side
+        assert "pallas_call" in small, small
+        big_rows = prims_for((256, 800))   # P >= 256: Gram side
+        assert "pallas_call" not in big_rows and "dot_general" in big_rows
+        big_feat = prims_for((100, 32768))  # cfg6 z: Gram side
+        assert "pallas_call" not in big_feat and "dot_general" in big_feat
+    finally:
+        config.set_pallas_enabled(prev)
+
+
 def test_pytree_sq_norm_matrix_pinned_precision():
     """The Gram cross-term must not inherit the backend's default matmul
     precision: on TPU the default is a single bf16 pass, whose O(100)
