@@ -59,8 +59,18 @@ def _driver(k_mat: jnp.ndarray, grads: jnp.ndarray) -> jnp.ndarray:
 
 
 def _se_repulsion(k_mat: jnp.ndarray, factor, values: jnp.ndarray) -> jnp.ndarray:
-    """``sum_m ∇_{v_m} k(v_m, v_i) = factor * (K^T V - colsum(K) ⊙ V)``."""
+    """``sum_m ∇_{v_m} k(v_m, v_i) = factor * (K^T V - colsum(K) ⊙ V)``.
+
+    ``V`` is centered by its particle mean first: the repulsion
+    ``Σ_m K[m,i] (v_m − v_i)`` is exactly invariant under ``V → V − μ``
+    (both matmul terms shift consistently), but the uncentered difference
+    cancels the large common component of clustered particles, so matmul
+    rounding lands on ``‖v‖`` instead of ``‖v_m − v_i‖``. Centering makes
+    the rounding relative to the differences — required for the bf16-pass
+    precisions (see :func:`dibs_tpu.config.set_transport_matmul_precision`).
+    """
     vf = _flat(values)
+    vf = vf - vf.mean(axis=0, keepdims=True)
     colsum = k_mat.sum(axis=0)
     rep = factor * (jnp.matmul(k_mat.T, vf, precision=_prec())
                     - colsum[:, None] * vf)

@@ -125,6 +125,14 @@ def ring_marginal_transport(kernel, z: jnp.ndarray, dz: jnp.ndarray,
 
     def body(z_loc, dz_loc):
         z_f, dz_f = _flat(z_loc), _flat(dz_loc)
+        # Center by the GLOBAL particle mean (one [1, n] psum), mirroring the
+        # unsharded transport: the repulsion is exactly shift-invariant, and
+        # centering makes matmul rounding relative to particle differences
+        # instead of ||v|| (see transport._se_repulsion). Distances (and thus
+        # the kernel tiles) are shift-invariant too, so centering before the
+        # ring keeps every rotating block consistent.
+        mu = jax.lax.psum(z_f.sum(axis=0, keepdims=True), axis) / n_particles
+        z_f = z_f - mu
 
         def tile_step(acc, blocks):
             zb, dzb = blocks
@@ -168,6 +176,14 @@ def ring_joint_transport(kernel, z: jnp.ndarray, theta: Any,
 
     def body(z_loc, dz_loc, th_f_loc, dth_f_loc):
         z_f, dz_f = _flat(z_loc), _flat(dz_loc)
+        # Global-mean centering of both particle families — same rationale
+        # as the marginal ring (repulsion + distances are shift-invariant).
+        mu_z = jax.lax.psum(z_f.sum(axis=0, keepdims=True), axis) \
+            / n_particles
+        mu_t = jax.lax.psum(th_f_loc.sum(axis=0, keepdims=True), axis) \
+            / n_particles
+        z_f = z_f - mu_z
+        th_f_loc = th_f_loc - mu_t
 
         def tile_step(acc, blocks):
             zb, dzb, tb, dtb = blocks
