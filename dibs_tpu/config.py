@@ -20,12 +20,15 @@ quality, 3 seeds per arm): ``highest`` 17.8, ``high`` 18.7, ``default``
 19.8 steps/s with AUROC statistically identical across arms
 (0.954–0.966 everywhere) — so the default is ``'high'`` (bf16x3,
 ~2^-17, quality-transparent with margin). ``'default'`` (single-pass
-bf16, ~2^-9) measured clean too but stays opt-in: the repulsion term
-``K^T V − colsum(K) ⊙ V`` is a near-cancelling difference when particles
-cluster (late SVGD), and the reduced 800-step protocol does not stress
-that regime. The ``'high'`` default IS validated at the full 2000-step
-protocol: the round-3d parity re-validation (parity/RESULTS_r3.md
-addendum) ran with it and matched the recorded golden medians.
+bf16, ~2^-9) was later validated at the FULL 2000-step protocol too —
+10 paired seeds at d=20 plus the d=128 large-feature clustered regime
+(``benchmarks/TRANSPORT_DEFAULT_STUDY.json``): quality indistinguishable
+(the repulsion centering holds even at 2^-9), but it buys only ~3% at
+cfg5 — the remaining transport time is conversion/copy traffic, not MXU
+passes — so it stays opt-in rather than churning the quality goldens.
+The ``'high'`` default IS validated at the full 2000-step protocol: the
+round-3d parity re-validation (parity/RESULTS_r3.md addendum) ran with
+it and matched the recorded golden medians.
 """
 from __future__ import annotations
 
