@@ -79,6 +79,15 @@ class EstimatorConfig:
     # (beyond-reference: rho(G) via power iteration — O(K d^2) instead of
     # O(d^3 log d) per MC sample; see ops/acyclic.py)
     acyclicity: str = "notears"
+    # 'sampled' (reference parity: E[∇h(G_soft)] over n_acyclicity_mc_samples
+    # Gumbel-softmax samples, dibs.py:576-601) or 'mean' (beyond-reference:
+    # the deterministic mean-field gradient ∇h(E[G]) = ∇h(edge_probs(Z)) —
+    # zero MC samples, one h-evaluation per particle instead of K, removing
+    # the K x d-step power-chain batch from the prior score entirely). Both
+    # vanish exactly when the soft graph is acyclic; 'mean' swaps the MC
+    # estimate of a relaxation's expectation for the relaxation at the
+    # expectation (quality + throughput study: benchmarks/CONSTRAINT_MEAN_AB)
+    acyclicity_constraint: str = "sampled"
 
     def alpha(self, t):
         """Linear inverse-temperature schedule of the edge-prob sigmoid."""
@@ -525,18 +534,34 @@ def make_estimators(
                 f"{cfg.acyclicity!r}"
             )
 
-        def batched_h(zs_):
-            scores = edge_scores(zs_)
-            gs = _constrain_mc(sample_soft_graphs(
-                scores, keys[0], alpha, cfg.tau, cfg.n_acyclicity_mc_samples,
-                use_pallas=use_pallas, sharding=sharding,
-            ))
-            return vmap(vmap(h_one))(gs)  # [P, K]
+        if cfg.acyclicity_constraint == "mean":
+            # deterministic mean-field constraint: one h per particle on the
+            # edge-probability matrix — no Gumbel samples, no K-batch chain
+            def batched_h(zs_):
+                probs = vmap(lambda z_: edge_probs(z_, alpha))(zs_)
+                return vmap(h_one)(probs)  # [P]
 
-        h_vals, vjp_fn = jax.vjp(batched_h, zs)
-        (grad_constraint,) = vjp_fn(
-            jnp.full_like(h_vals, 1.0 / cfg.n_acyclicity_mc_samples)
-        )
+            h_vals, vjp_fn = jax.vjp(batched_h, zs)
+            (grad_constraint,) = vjp_fn(jnp.ones_like(h_vals))
+        elif cfg.acyclicity_constraint == "sampled":
+            def batched_h(zs_):
+                scores = edge_scores(zs_)
+                gs = _constrain_mc(sample_soft_graphs(
+                    scores, keys[0], alpha, cfg.tau,
+                    cfg.n_acyclicity_mc_samples,
+                    use_pallas=use_pallas, sharding=sharding,
+                ))
+                return vmap(vmap(h_one))(gs)  # [P, K]
+
+            h_vals, vjp_fn = jax.vjp(batched_h, zs)
+            (grad_constraint,) = vjp_fn(
+                jnp.full_like(h_vals, 1.0 / cfg.n_acyclicity_mc_samples)
+            )
+        else:
+            raise ValueError(
+                f"acyclicity_constraint must be 'sampled' or 'mean'; got "
+                f"{cfg.acyclicity_constraint!r}"
+            )
 
         return (
             -cfg.beta(t) * grad_constraint

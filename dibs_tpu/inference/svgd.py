@@ -91,6 +91,7 @@ class DiBS:
                  score_function_baseline=0.0,
                  latent_prior_std=None,
                  acyclicity="notears",
+                 acyclicity_constraint="sampled",
                  verbose=False,
                  fused_linear_model=None,
                  use_pallas_samplers=None,
@@ -114,6 +115,7 @@ class DiBS:
             score_function_baseline=score_function_baseline,
             latent_prior_std=latent_prior_std,
             acyclicity=acyclicity,
+            acyclicity_constraint=acyclicity_constraint,
         )
         self.latent_prior_std = latent_prior_std
         self.verbose = verbose
@@ -285,6 +287,7 @@ class MarginalDiBS(DiBS):
                  score_function_baseline=0.0,
                  latent_prior_std=None,
                  acyclicity="notears",
+                 acyclicity_constraint="sampled",
                  sharding=None,
                  verbose=False):
         if kernel_param is None:
@@ -308,6 +311,7 @@ class MarginalDiBS(DiBS):
             score_function_baseline=score_function_baseline,
             latent_prior_std=latent_prior_std,
             acyclicity=acyclicity,
+            acyclicity_constraint=acyclicity_constraint,
             verbose=verbose,
             sharding=sharding,
             # per-node likelihood decomposition for the Rao-Blackwellized
@@ -526,6 +530,7 @@ class JointDiBS(DiBS):
                  score_function_baseline=0.0,
                  latent_prior_std=None,
                  acyclicity="notears",
+                 acyclicity_constraint="sampled",
                  sharding=None,
                  verbose=False,
                  fused_sample_sharing="hard"):
@@ -550,6 +555,7 @@ class JointDiBS(DiBS):
             score_function_baseline=score_function_baseline,
             latent_prior_std=latent_prior_std,
             acyclicity=acyclicity,
+            acyclicity_constraint=acyclicity_constraint,
             verbose=verbose,
             # model-specialized fused Pallas path (engages on TPU with the
             # reparam estimator; runs per mesh shard when sharded)

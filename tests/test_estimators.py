@@ -506,3 +506,77 @@ def test_score_baseline_reference_parity_and_overflow():
         log_w, logprobs_big, sign_w[:, None, None, None] * grad_z
     )
     assert jnp.isfinite(ours_big).all()
+
+
+def test_acyclicity_constraint_mean_matches_direct_autodiff():
+    """'mean' mode (beyond-reference): the prior score must equal the direct
+    autodiff of the deterministic mean-field penalty,
+    ``-beta(t) ∇h(edge_probs(z)) - z/std^2`` under a flat graph prior —
+    no MC machinery involved."""
+    model, x, interv, z, theta = _setup()
+    cfg = EstimatorConfig(alpha_linear=0.2, beta_linear=1.5,
+                          acyclicity_constraint="mean")
+    est = make_estimators(
+        cfg=cfg,
+        log_graph_prior=lambda soft_g: jnp.array(0.0),
+        log_joint_prob=model.interventional_log_joint_prob,
+        x=x,
+        interv_mask=interv,
+    )
+    std, t = 0.7, 3.0
+    out = est.eltwise_grad_latent_prior(
+        z[None], random.split(random.PRNGKey(8), 1), t, std
+    )
+
+    from dibs_tpu.ops.acyclic import acyclic_constr
+
+    def direct(z_):
+        return acyclic_constr(edge_ops.edge_probs(z_, cfg.alpha(t)), D,
+                              jax.lax.Precision.DEFAULT)
+
+    expected = -cfg.beta(t) * jax.grad(direct)(z) - z / std**2
+    assert jnp.allclose(out[0], expected, atol=1e-5)
+
+
+def test_acyclicity_constraint_mean_zero_on_hard_dag():
+    """A particle whose edge probs are saturated on a DAG gets (near-)zero
+    constraint gradient in 'mean' mode — h and its gradient vanish on
+    strictly-triangular soft graphs."""
+    model, x, interv, z, theta = _setup()
+    # u_i = 10 e_i, v_j[i] = +-10 so s_ij = u_i . v_j = +100 iff i < j:
+    # a saturated upper-triangular (hard DAG) soft graph
+    u = 10.0 * jnp.eye(D)
+    v = 10.0 * jnp.where(jnp.arange(D)[None, :] < jnp.arange(D)[:, None],
+                         1.0, -1.0)
+    z_dag = jnp.stack([u, v], axis=-1)
+    cfg = EstimatorConfig(alpha_linear=1.0, beta_linear=1.0,
+                          acyclicity_constraint="mean")
+    est = make_estimators(
+        cfg=cfg,
+        log_graph_prior=lambda soft_g: jnp.array(0.0),
+        log_joint_prob=model.interventional_log_joint_prob,
+        x=x,
+        interv_mask=interv,
+    )
+    std, t = 1.0, 100.0
+    out = est.eltwise_grad_latent_prior(
+        z_dag[None], random.split(random.PRNGKey(8), 1), t, std
+    )
+    constraint_part = out[0] + z_dag / std**2
+    assert jnp.abs(constraint_part).max() < 1e-4
+
+
+def test_acyclicity_constraint_bad_value_raises():
+    model, x, interv, z, theta = _setup()
+    cfg = EstimatorConfig(acyclicity_constraint="bogus")
+    est = make_estimators(
+        cfg=cfg,
+        log_graph_prior=lambda soft_g: jnp.array(0.0),
+        log_joint_prob=model.interventional_log_joint_prob,
+        x=x,
+        interv_mask=interv,
+    )
+    with pytest.raises(ValueError):
+        est.eltwise_grad_latent_prior(
+            z[None], random.split(random.PRNGKey(8), 1), 3.0, 1.0
+        )
