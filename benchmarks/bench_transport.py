@@ -73,6 +73,76 @@ def make_merged(use_pallas):
     return f
 
 
+def make_fused_xla():
+    """Round-5 candidate: centered-once operands shared between Gram and
+    repulsion + driver/repulsion folded per family by the SE identity
+
+        k_mat^T @ dz + c_z (K_z^T @ zc - colsum_z ⊙ zc)
+      = K_z^T @ (dz + c_z zc) + K_t^T @ dz - c_z colsum_z ⊙ zc
+
+    so each family is two [P,P]@[P,n] matmuls over rhs's that reuse the
+    SAME centered flat operand the Grams consumed (one f32->hi/lo split
+    instead of one per matmul), with the whole epilogue one fusion."""
+    from dibs_tpu.config import transport_matmul_precision
+
+    h_z, h_t = 5.0, 500.0
+
+    @jax.jit
+    def f(z, theta, dz, dtheta):
+        p = z.shape[0]
+        prec = transport_matmul_precision()
+        hi = jax.lax.Precision.HIGHEST
+
+        def prep(values):
+            vf = values.reshape(p, -1)
+            vf = vf - vf.mean(axis=0, keepdims=True)
+            sq = jnp.sum(vf * vf, axis=-1)
+            cross = jnp.matmul(vf, vf.T, precision=hi)
+            sqd = jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * cross, 0.0)
+            sqd = sqd * (1.0 - jnp.eye(p, dtype=sqd.dtype))
+            return vf, sqd
+
+        zf, sq_z = prep(z)
+        tf, sq_t = prep(theta)
+        k_z = jnp.exp(-sq_z / h_z)
+        k_t = jnp.exp(-sq_t / h_t)
+        c_z, c_t = -2.0 / h_z, -2.0 / h_t
+
+        def phi(k_own, k_other, c, vf, grads, shape):
+            gf = grads.reshape(p, -1)
+            out = (jnp.matmul(k_own.T, gf + c * vf, precision=prec)
+                   + jnp.matmul(k_other.T, gf, precision=prec)
+                   - (c * k_own.sum(axis=0))[:, None] * vf)
+            return (-out / p).reshape(shape)
+
+        return (phi(k_z, k_t, c_z, zf, dz, z.shape),
+                phi(k_t, k_z, c_t, tf, dtheta, theta.shape))
+
+    return f
+
+
+def make_pallas_phi():
+    """Round-5 integrated path: XLA Grams (auto dispatch) + the fused
+    Pallas phi kernel with in-kernel centering (ops/transport_kernel.py) —
+    no [P, n] intermediate (centered copy, rhs combine, epilogue)
+    round-trips HBM in the phi family. This is exactly what
+    joint_transport now selects at this shape."""
+    kernel = JointAdditiveFrobeniusSEKernel()
+
+    @jax.jit
+    def f(z, theta, dz, dtheta):
+        from dibs_tpu.inference.transport import _fused_phi_or_none
+
+        k_z, k_t, c_z, c_t = kernel.component_matrices_and_factors(
+            z, theta, z, theta)
+        phi_z = _fused_phi_or_none(k_z, k_t, c_z, z, dz, kernel)
+        phi_t = _fused_phi_or_none(k_t, k_z, c_t, theta, dtheta, kernel)
+        assert phi_z is not None and phi_t is not None
+        return phi_z, phi_t
+
+    return f
+
+
 def timeit(fn, *args, n=30):
     out = fn(*args)
     jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
@@ -106,6 +176,8 @@ def main():
         "current (xla gram)": make_current(False),
         "merged (pallas gram)": make_merged(None),
         "merged (xla gram)": make_merged(False),
+        "fused_xla (r5)": make_fused_xla(),
+        "pallas_phi (r5)": make_pallas_phi(),
     }
     base = None
     results = {}

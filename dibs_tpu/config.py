@@ -23,9 +23,9 @@ quality, 3 seeds per arm): ``highest`` 17.8, ``high`` 18.7, ``default``
 bf16, ~2^-9) was later validated at the FULL 2000-step protocol too —
 10 paired seeds at d=20 plus the d=128 large-feature clustered regime
 (``benchmarks/TRANSPORT_DEFAULT_STUDY.json``): quality indistinguishable
-(the repulsion centering holds even at 2^-9), but it buys only ~3% at
-cfg5 — the remaining transport time is conversion/copy traffic, not MXU
-passes — so it stays opt-in rather than churning the quality goldens.
+(the repulsion centering holds even at 2^-9), but it buys only ~5% at
+cfg5 (2-rep medians 21.9 vs 23.0 steps/s) — the remaining transport time
+is mostly conversion/copy traffic, not MXU passes — so it stays opt-in rather than churning the quality goldens.
 The ``'high'`` default IS validated at the full 2000-step protocol: the
 round-3d parity re-validation (parity/RESULTS_r3.md addendum) ran with
 it and matched the recorded golden medians.

@@ -506,10 +506,14 @@ def make_estimators(
 
         ``-beta(t) E[∇h] - Z / sigma_z^2 + ∇ log f(Z)``
 
-        The acyclicity term ``E_{p(G|Z)}[h(G)]`` uses Gumbel-softmax samples
-        from the storage-free sampler and one whole-batch vjp with uniform
-        ``1/K`` cotangents (= the MC mean of per-sample gradients); ``h``
-        itself carries the closed-form power-chain VJP (ops/acyclic.py).
+        The acyclicity term depends on ``cfg.acyclicity_constraint``:
+        ``'sampled'`` (the default / reference-parity path, dibs.py:576-601)
+        estimates ``E_{p(G|Z)}[h(G)]`` with Gumbel-softmax samples from the
+        storage-free sampler and one whole-batch vjp with uniform ``1/K``
+        cotangents (= the MC mean of per-sample gradients); ``'mean'`` takes
+        the deterministic gradient ``∇h(E[G])`` of the edge-probability
+        matrix — one h per particle, zero MC samples. Either way ``h``
+        carries the closed-form power-chain VJP (ops/acyclic.py).
         """
         alpha = cfg.alpha(t)
         d = zs.shape[1]

@@ -82,11 +82,65 @@ def _se_repulsion(k_mat: jnp.ndarray, factor, values: jnp.ndarray) -> jnp.ndarra
 # --------------------------------------------------------------------------
 
 
+def _fused_phi_or_none(k_own, k_other, c, values, grads, kernel):
+    """One whole transport family through the fused Pallas kernel
+    (:mod:`dibs_tpu.ops.transport_kernel`), or ``None`` when ineligible.
+
+    Eligible: TPU, unsharded, fixed float bandwidth (the factor must be a
+    trace-time constant), and a [P, n] shape the resident-[P, P] kernel
+    tier serves. At cfg5 this replaces ~4 elementwise HBM round-trips of
+    the [1000, 49k] operands (centering, rhs materialization, epilogues)
+    with one fused pass — the round-4 diagnosed conversion-traffic gap.
+
+    ``values``/``grads`` may be arrays or matching pytrees (Θ); pytree
+    leaves are flattened into one [P, n] block and split back after.
+    """
+    if not isinstance(c, float) or getattr(kernel, "sharding", None) is not None:
+        return None
+    from dibs_tpu.ops.pallas_kernels import pallas_enabled
+    from dibs_tpu.ops.transport_kernel import (
+        transport_phi,
+        transport_phi_available,
+    )
+
+    if not pallas_enabled():
+        return None
+    leaves_v = jax.tree_util.tree_leaves(values)
+    p = leaves_v[0].shape[0]
+    n = sum(leaf[0].size for leaf in leaves_v)
+    if not transport_phi_available(p, n):
+        return None
+    vf = jnp.concatenate([leaf.reshape(p, -1) for leaf in leaves_v], axis=1)
+    gf = _flat_tree(grads, p)
+    mu = vf.mean(axis=0, keepdims=True)
+    phi_flat = transport_phi(k_own, k_other, gf, vf, c=c, mu=mu)
+    # split back into the values pytree's leaf shapes
+    treedef = jax.tree_util.tree_structure(values)
+    out_leaves = []
+    offset = 0
+    for leaf in leaves_v:
+        size = leaf[0].size
+        out_leaves.append(
+            phi_flat[:, offset : offset + size].reshape(leaf.shape))
+        offset += size
+    return jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+
+def _flat_tree(tree, p):
+    leaves = jax.tree_util.tree_leaves(tree)
+    if len(leaves) == 1:
+        return leaves[0].reshape(p, -1)
+    return jnp.concatenate([leaf.reshape(p, -1) for leaf in leaves], axis=1)
+
+
 def marginal_transport(kernel, z: jnp.ndarray, dz: jnp.ndarray) -> jnp.ndarray:
     """Transport ``phi_z`` for Z-only SVGD. Fast path if the kernel supports it."""
     n_particles = z.shape[0]
     if hasattr(kernel, "matrix_and_grad_factor"):
         k_mat, factor = kernel.matrix_and_grad_factor(z, z)
+        fused = _fused_phi_or_none(k_mat, None, factor, z, dz, kernel)
+        if fused is not None:
+            return fused
         phi = _driver(k_mat, dz) + _se_repulsion(k_mat, factor, z)
         return -phi / n_particles
     return _marginal_transport_autodiff(kernel, z, dz)
@@ -101,19 +155,25 @@ def joint_transport(
         k_z, k_t, c_z, c_t = kernel.component_matrices_and_factors(
             z, theta, z, theta
         )
+
+        phi_z = _fused_phi_or_none(k_z, k_t, c_z, z, dz, kernel)
+        phi_theta = _fused_phi_or_none(k_t, k_z, c_t, theta, dtheta, kernel)
+        if phi_z is not None and phi_theta is not None:
+            return phi_z, phi_theta
+
         k_mat = k_z + k_t
-
-        phi_z = _driver(k_mat, dz) + _se_repulsion(k_z, c_z, z)
-        phi_z = -phi_z / n_particles
-
-        phi_theta = tree_map(
-            lambda g_leaf, v_leaf: -(
-                _driver(k_mat, g_leaf) + _se_repulsion(k_t, c_t, v_leaf)
+        if phi_z is None:
+            phi_z = _driver(k_mat, dz) + _se_repulsion(k_z, c_z, z)
+            phi_z = -phi_z / n_particles
+        if phi_theta is None:
+            phi_theta = tree_map(
+                lambda g_leaf, v_leaf: -(
+                    _driver(k_mat, g_leaf) + _se_repulsion(k_t, c_t, v_leaf)
+                )
+                / n_particles,
+                dtheta,
+                theta,
             )
-            / n_particles,
-            dtheta,
-            theta,
-        )
         return phi_z, phi_theta
     return _joint_transport_autodiff(kernel, z, theta, dz, dtheta)
 

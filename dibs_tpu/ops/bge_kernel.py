@@ -78,6 +78,12 @@ _TILE = 256  # matrices eliminated per grid cell (lane-dim batch)
 # large-d marginal engine (see benchmarks/RESULTS.md round-4).
 _MAX_D = 128
 
+# Pivots eliminated per register-blocked panel (see _bge_pair_kernel). At
+# K=1 the sweep degenerates to the round-3e unblocked form. Measured A/B
+# (benchmarks/bench_bge_blocked.py, BGE_BLOCKED_AB.json): K=4 is 1.6x over
+# K=1 at the cfg1 shape (d=20); d=128 is compute-bound and K-insensitive.
+_BLOCK_K = 4
+
 
 def _tile_for(d: int) -> int:
     return _TILE if d <= 64 else 128
@@ -127,22 +133,47 @@ def _bge_pair_kernel(r_ref, e_ref, gt_ref, out_pa_ref, out_full_ref, a_ref):
         a_ref[c] = rc * mm + e_c * (1.0 - mm)
 
     # lock-step unpivoted GE over all TILE matrices; identity rows pass
-    # through with pivot 1 (log 0), so the log-pivot sum IS logdet R[Pa, Pa]
+    # through with pivot 1 (log 0), so the log-pivot sum IS logdet R[Pa, Pa].
+    #
+    # BLOCKED (round 5): the round-3e/4 unblocked form updated every trailing
+    # column once per pivot — a full [d, TILE] VMEM load + store around 1
+    # fma, so the VPU spent ~2/3 of its slots on traffic and sublane
+    # broadcasts (the measured 3.1x gap to the fma floor at cfg1,
+    # benchmarks/RESULTS.md round-4 fleet sweep). Here pivots are processed
+    # in blocks of K: the block's K scaled columns (colf) are computed once
+    # (register-resident, the "panel" phase), then each trailing column is
+    # loaded ONCE, receives all K rank-1 updates in registers, and is stored
+    # ONCE — amortizing the round-trip K-fold. The per-element operation
+    # order is unchanged, so results are bitwise identical to the unblocked
+    # sweep.
     acc = jnp.zeros((1, tile), f32)
-    for i in range(d):
-        col_i = a_ref[i]  # [d, TILE]
-        pivot = col_i[i : i + 1, :]  # [1, TILE]
-        inv_p = 1.0 / pivot
-        colf = col_i * inv_p
-        acc = acc + jnp.log(pivot)
-        # bordered update: after the full sweep s is the Schur complement
-        # of entry (j, j) in R[Pa u j, Pa u j]
-        vi = v[i : i + 1, :]
-        s = s - vi * vi * inv_p
-        v = v - colf * vi
-        for c in range(i + 1, d):
+    kb = _BLOCK_K
+    for i0 in range(0, d, kb):
+        hi = min(i0 + kb, d)
+        # panel: eliminate within the block, keeping its columns in registers
+        cols = [a_ref[c] for c in range(i0, hi)]
+        colfs = []
+        for i in range(i0, hi):
+            col_i = cols[i - i0]
+            pivot = col_i[i : i + 1, :]  # [1, TILE]
+            inv_p = 1.0 / pivot
+            colf = col_i * inv_p
+            colfs.append(colf)
+            acc = acc + jnp.log(pivot)
+            # bordered update: after the full sweep s is the Schur
+            # complement of entry (j, j) in R[Pa u j, Pa u j]
+            vi = v[i : i + 1, :]
+            s = s - vi * vi * inv_p
+            v = v - colf * vi
+            for c in range(i + 1, hi):
+                col_c = cols[c - i0]
+                cols[c - i0] = col_c - colf * col_c[i : i + 1, :]
+        # trailing update: one load + one store per column for K pivots
+        for c in range(hi, d):
             col_c = a_ref[c]
-            a_ref[c] = col_c - colf * col_c[i : i + 1, :]
+            for i in range(i0, hi):
+                col_c = col_c - colfs[i - i0] * col_c[i : i + 1, :]
+            a_ref[c] = col_c
 
     out_pa_ref[0] = acc
     out_full_ref[0] = acc + jnp.log(s)
