@@ -469,7 +469,8 @@ ICI_ROUND_LATENCY_S = 2e-6
 def multichip_projection(*, seconds_1chip, p, n_dev, z_dim, theta_dim=0,
                          transport_frac, t_fixed=0.0, weak=False,
                          chip="tpu_v5e", ici_gbps=None,
-                         round_latency_s=ICI_ROUND_LATENCY_S
+                         round_latency_s=ICI_ROUND_LATENCY_S,
+                         payload_dtype_bytes=4.0
                          ) -> Dict[str, Any]:
     """Projected per-step time and scaling efficiency at ``n_dev`` chips.
 
@@ -483,6 +484,14 @@ def multichip_projection(*, seconds_1chip, p, n_dev, z_dim, theta_dim=0,
         weak: if True, the projection holds the per-chip particle count at
             ``p`` (global particles = p * n_dev) instead of splitting
             ``p`` across chips.
+        payload_dtype_bytes: wire bytes per element of the rotating
+            blocks — 4.0 (f32, default) or 2.0 (the flag-gated bf16
+            payload, :func:`dibs_tpu.config.set_ring_payload_dtype`,
+            implemented in ``parallel/ring.py``). Sub-f32 payloads add a
+            modeled quantize/upcast cost: two HBM-bandwidth passes over
+            the f32-sized block per round (quantize-on-forward +
+            upcast-on-use), charged to compute (it overlaps with nothing
+            — it IS on the tile critical path).
 
     Returns a dict with the per-term breakdown, the overlapped and
     non-overlapped step-time projections, and the efficiency (vs perfect
@@ -509,12 +518,14 @@ def multichip_projection(*, seconds_1chip, p, n_dev, z_dim, theta_dim=0,
         t_other = t_other1
         t_tr = n_dev * t_tr1
         comm = ring_comm_model(p=p * n_dev, n_dev=n_dev, z_dim=z_dim,
-                               theta_dim=theta_dim)
+                               theta_dim=theta_dim,
+                               dtype_bytes=payload_dtype_bytes)
     else:
         t_other = t_other1 / n_dev
         t_tr = t_tr1 / n_dev
         comm = ring_comm_model(p=p, n_dev=n_dev, z_dim=z_dim,
-                               theta_dim=theta_dim)
+                               theta_dim=theta_dim,
+                               dtype_bytes=payload_dtype_bytes)
 
     rounds = comm["rounds"]
     per_round_comm = comm["block_bytes"] / bw
@@ -523,8 +534,14 @@ def multichip_projection(*, seconds_1chip, p, n_dev, z_dim, theta_dim=0,
                         + round_latency_s)
     t_comm_full = rounds * (per_round_comm + round_latency_s)
 
-    t_step = t_fixed + t_other + t_tr + exposed
-    t_step_no_overlap = t_fixed + t_other + t_tr + t_comm_full
+    # quantize/upcast passes for sub-f32 payloads (see docstring)
+    t_conv = 0.0
+    if payload_dtype_bytes < 4.0:
+        blk_f32 = comm["block_bytes"] * 4.0 / payload_dtype_bytes
+        t_conv = rounds * 2.0 * blk_f32 / (peaks["hbm_gbps"] * 1e9)
+
+    t_step = t_fixed + t_other + t_tr + t_conv + exposed
+    t_step_no_overlap = t_fixed + t_other + t_tr + t_conv + t_comm_full
     if weak:
         eff = (t_fixed + t_work) / t_step  # ideal: constant step time
     else:
@@ -538,6 +555,7 @@ def multichip_projection(*, seconds_1chip, p, n_dev, z_dim, theta_dim=0,
         "t_transport": t_tr,
         "t_comm_exposed": exposed,
         "t_comm_full": t_comm_full,
+        "t_conv": t_conv,
         "comm_bytes_per_device": comm["bytes_per_device"],
         "efficiency": eff,
     }

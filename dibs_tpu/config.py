@@ -33,6 +33,7 @@ it and matched the recorded golden medians.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
@@ -80,6 +81,40 @@ def set_transport_matmul_precision(p) -> None:
 
 def transport_matmul_precision():
     return _transport_matmul_precision
+
+
+_ring_payload_dtype = jnp.float32
+
+
+def set_ring_payload_dtype(dtype) -> None:
+    """Sets the wire dtype of the ring transport's rotating ``(v, grad)``
+    blocks (:mod:`dibs_tpu.parallel.ring`).
+
+    Accepts ``'float32'`` (default) or ``'bfloat16'``. With bf16 the
+    ``ppermute`` payload halves — the single biggest projected multi-chip
+    lever for the ICI-bound cfg5 strong-scaling regime
+    (benchmarks/MULTICHIP_PROJECTION.md: 8-chip efficiency 49% -> ~70%
+    modeled). Only the *rotating* copies quantize: each device's resident
+    block and all tile accumulators stay f32, so the r=0 (self) tile is
+    exact and errors do not compound around the ring (each hop re-quantizes
+    the same f32-born block once — the blocks are forwarded as-received).
+    Takes effect at the next trace. Off (f32) by default: bf16 payload
+    perturbs kernel tiles by ~2^-9 relative, the same order the transport
+    'default' precision study measured as quality-transparent at full
+    protocol (benchmarks/TRANSPORT_DEFAULT_STUDY.json), but multi-chip
+    quality has only virtual-mesh evidence so far.
+    """
+    global _ring_payload_dtype
+    if isinstance(dtype, str):
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype]
+    if dtype not in (jnp.float32, jnp.bfloat16):
+        raise ValueError(f"ring payload dtype must be float32 or bfloat16; "
+                         f"got {dtype}")
+    _ring_payload_dtype = dtype
+
+
+def ring_payload_dtype():
+    return _ring_payload_dtype
 
 
 # --- Pallas kill switch -----------------------------------------------------

@@ -99,18 +99,35 @@ def _se_tile(x_blk, y_loc, h, scale):
     return scale * jnp.exp(-(x_sq + y_sq.T - 2.0 * cross) / h)
 
 
+def _payload_dtype():
+    """Wire dtype of the rotating blocks — trace-time config lookup
+    (:func:`dibs_tpu.config.ring_payload_dtype`, default f32). With bf16
+    the ppermute payload halves; see the knob's docstring for the
+    numerics contract."""
+    from dibs_tpu.config import ring_payload_dtype
+
+    return ring_payload_dtype()
+
+
 def _ring_loop(axis, n_dev, rotating, tile_step, acc_init):
     """Rotates ``rotating`` (a tuple of [P_blk, n] arrays) around the ring;
     ``tile_step(blocks) -> acc contributions`` runs once per resident block.
-    Static python loop: n_dev tiles, each overlapped with the next permute."""
+    Static python loop: n_dev tiles, each overlapped with the next permute.
+
+    ``tile_step`` receives blocks upcast to f32. The wire dtype of the
+    rotation is ``config.ring_payload_dtype()``: blocks are cast before the
+    FIRST permute only (the cast is a no-op afterwards — blocks forward
+    as-received, so quantization error does not compound around the ring)
+    and the r=0 self-tile always sees the exact f32 block."""
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    wire = _payload_dtype()
     acc = acc_init
     blocks = rotating
     for r in range(n_dev):
-        acc = tile_step(acc, blocks)
+        acc = tile_step(acc, tuple(b.astype(jnp.float32) for b in blocks))
         if r < n_dev - 1:  # last tile needs no forward
             blocks = tuple(
-                jax.lax.ppermute(b, axis, perm) for b in blocks
+                jax.lax.ppermute(b.astype(wire), axis, perm) for b in blocks
             )
     return acc
 

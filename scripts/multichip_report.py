@@ -94,34 +94,52 @@ def main():
                      f"transport {tfrac*100:.0f}% of step, ring payload "
                      f"{ring['block_bytes']/1e6:.1f} MB/block")
         lines.append("")
-        lines.append("| chips | strong steps/s | strong eff | weak "
-                     "steps/s (P/chip const) | weak eff | exposed comm "
-                     "(strong) |")
-        lines.append("|---|---|---|---|---|---|")
+        lines.append("| chips | strong steps/s | strong eff | strong eff "
+                     "(bf16 wire) | weak steps/s (P/chip const) | weak eff "
+                     "| exposed comm (strong) |")
+        lines.append("|---|---|---|---|---|---|---|")
         for n in (1, 4, 8, 16):
             st = multichip_projection(
                 seconds_1chip=sec1, p=p, n_dev=n, z_dim=zdim,
                 theta_dim=tdim, transport_frac=tfrac, t_fixed=t_fixed)
+            bf = multichip_projection(
+                seconds_1chip=sec1, p=p, n_dev=n, z_dim=zdim,
+                theta_dim=tdim, transport_frac=tfrac, t_fixed=t_fixed,
+                payload_dtype_bytes=2.0)
             wk = multichip_projection(
                 seconds_1chip=sec1, p=p, n_dev=n, z_dim=zdim,
                 theta_dim=tdim, transport_frac=tfrac, t_fixed=t_fixed,
                 weak=True)
             lines.append(
                 f"| {n} | {1.0/st['t_step']:.1f} | "
-                f"{st['efficiency']*100:.0f}% | {1.0/wk['t_step']:.1f} | "
+                f"{st['efficiency']*100:.0f}% | "
+                f"{bf['efficiency']*100:.0f}% | {1.0/wk['t_step']:.1f} | "
                 f"{wk['efficiency']*100:.0f}% | "
                 f"{st['t_comm_exposed']*1e3:.2f} ms |")
         lines.append("")
 
     lines += [
-        "Knob: the production-scale configs are ring-comm-exposed at 8+",
-        "chips (49-98 MB rotating blocks). Rotating the (v, grad) blocks",
-        "in bf16 halves the payload (the driver term weights stochastic",
-        "MC gradients whose noise dwarfs bf16 rounding — same argument as",
-        "the measured transport-precision A/B, TRANSPORT_PREC_AB.json);",
-        "that moves cfg5's 8-chip strong efficiency from ~49% to ~70%.",
-        "Unvalidated on real ICI; recorded as the first thing to try on",
-        "hardware.",
+        "Knob (IMPLEMENTED in round 5): the production-scale configs are",
+        "ring-comm-exposed at 8+ chips (49-98 MB rotating blocks). The",
+        "'strong eff (bf16 wire)' column is the flag-gated bf16 ring",
+        "payload (`dibs_tpu.config.set_ring_payload_dtype('bfloat16')`,",
+        "`parallel/ring.py`): the rotating (v, grad) blocks cross ICI at",
+        "half width, accumulators and the resident block stay f32, and the",
+        "model now charges two HBM passes per round of quantize/upcast",
+        "overhead (`multichip_projection(payload_dtype_bytes=2.0)`).",
+        "Validated on the virtual mesh — equality within bf16-quantization",
+        "tolerance vs the f32 ring plus a lowered-HLO check that every",
+        "collective-permute payload is bf16",
+        "(tests/test_parallel.py::test_ring_bf16_payload_matches_f32).",
+        "Default off: only the wire-width timing claim still needs real",
+        "ICI.",
+        "",
+        "t_fixed caveat: the fleet-sweep fits produced slightly NEGATIVE",
+        "intercepts (clamped to 0 here), so the t_fixed that erodes",
+        "small-config strong scaling at 16 chips is a fit artifact, not a",
+        "measurement. Treat the 16-chip small-d rows as optimistic by an",
+        "unknown sub-millisecond constant; the production-scale rows are",
+        "comm-dominated and insensitive to it.",
         "",
         "Reading: strong scaling divides the particle set across chips.",
         "The small-d configs project well to 8 chips (their ring blocks",

@@ -371,3 +371,72 @@ def test_multichip_comm_model():
     )
     assert w["t_transport"] > 0.36 * 0.05 * (n - 1)
     assert 0.0 < w["efficiency"] < 1.0
+
+
+def test_ring_bf16_payload_matches_f32(target):
+    """VERDICT r4 item 5: the flag-gated bf16 ring payload. (a) the bf16
+    ring equals the f32 ring within bf16-quantization tolerance on the
+    virtual mesh; (b) the flag defaults to f32 (bitwise equality when off);
+    (c) the lowered HLO's collective-permutes carry half-width payloads
+    when on."""
+    import re
+
+    from dibs_tpu import config
+    from dibs_tpu.kernel import JointAdditiveFrobeniusSEKernel
+    from dibs_tpu.parallel.ring import ring_joint_transport
+
+    sharding = particle_sharding(make_particle_mesh())
+    k1, k2, k3, k4 = random.split(random.PRNGKey(13), 4)
+    p, d, kdim = 16, 6, 6
+    z = jax.device_put(random.normal(k1, (p, d, kdim, 2)), sharding)
+    dz = jax.device_put(random.normal(k2, (p, d, kdim, 2)), sharding)
+    theta = jax.device_put(random.normal(k3, (p, d, d)), sharding)
+    dtheta = jax.device_put(random.normal(k4, (p, d, d)), sharding)
+
+    kj = JointAdditiveFrobeniusSEKernel(h_latent=5.0, h_theta=500.0)
+
+    def run():
+        return jax.jit(
+            lambda a, b, c, e: ring_joint_transport(kj, a, c, b, e, sharding)
+        )(z, dz, theta, dtheta)
+
+    ref_z, ref_t = run()
+    try:
+        config.set_ring_payload_dtype("bfloat16")
+        out_z, out_t = run()
+        lowered = jax.jit(
+            lambda a, b, c, e: ring_joint_transport(kj, a, c, b, e, sharding)
+        ).lower(z, dz, theta, dtheta)
+        # NOTE: assert on the LOWERED (pre-optimization) program — the
+        # program we request. The XLA:CPU backend rewrites
+        # permute(bf16(x)) into permute(f32(bf16(x))) (wire width is
+        # irrelevant to its cost model, values unchanged); the TPU SPMD
+        # pipeline keeps collective payloads at the requested width.
+        stablehlo = lowered.as_text()
+    finally:
+        config.set_ring_payload_dtype("float32")
+
+    # (a) quantizing the rotating blocks to bf16 (2^-9 relative) perturbs
+    # kernel tiles and driver terms at the same order; the transport scale
+    # here is O(1e-2)
+    err_z = float(jnp.abs(out_z - ref_z).max())
+    err_t = float(jnp.abs(out_t - ref_t).max())
+    scale = float(jnp.abs(ref_z).max())
+    assert err_z < 0.02 * scale + 1e-4, (err_z, scale)
+    assert err_t < 0.02 * float(jnp.abs(ref_t).max()) + 1e-4, err_t
+    assert err_z > 0.0  # the flag did change the wire representation
+
+    # (b) flag off again: bitwise identical to the reference run
+    back_z, _ = run()
+    assert jnp.array_equal(back_z, ref_z)
+
+    # (c) every collective-permute in the bf16-flagged program carries a
+    # bf16 payload (the rotating blocks are the only permuted arrays):
+    # 4 rotating arrays x (N-1) rounds
+    perms = re.findall(
+        r"collective_permute.*?->\s*tensor<[^x]*x[^x]*x(\w+)>", stablehlo)
+    assert len(perms) == 4 * 7, perms
+    for dtype in perms:
+        assert dtype == "bf16", (
+            f"collective-permute payload is {dtype}, want bf16: flag did "
+            "not halve the wire width")
