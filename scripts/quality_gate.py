@@ -22,8 +22,11 @@ Two layers (VERDICT r3 item 5 made the second one exist):
    tests/test_quality_gate_logic.py for the comparator's unit proof and
    benchmarks/RESULTS.md for the on-device injection runs.
 
-Runs the config-1/2 analogs at d=12 / 800 steps. Exit code 0 = gate
-passed. Wire into any TPU CI via ``make check``.
+Runs the config-1/2 analogs at d=12 / 800 steps, plus (round 5) the same
+marginal config under the *recommended* ``score_rb`` estimator — the
+documented best marginal path needs its own regression coverage, not just
+the parity default's. Exit code 0 = gate passed. Wire into any TPU CI via
+``make check``.
 """
 import argparse
 import json
@@ -110,15 +113,31 @@ def run_joint_linear():
 
 def run_marginal_bge():
     """Per-seed metrics of the reduced marginal config (d=12, 800 steps)."""
+    return _run_marginal(grad_estimator_z=None)
+
+
+def run_marginal_score_rb():
+    """Per-seed metrics of the reduced marginal config under the
+    ``score_rb`` estimator — the *documented recommendation* for marginal
+    inference since round 4 (10-seed study, parity/RESULTS_r3.md): better
+    than the parity-default ``score`` on every mixture cell. VERDICT r4
+    item 8: the recommended path needs its own regression coverage, not
+    just the parity default's."""
+    return _run_marginal(grad_estimator_z="score_rb")
+
+
+def _run_marginal(grad_estimator_z):
     rows = []
     n_gt = 0
+    kw = dict(_marginal_kwargs())
+    if grad_estimator_z is not None:
+        kw["grad_estimator_z"] = grad_estimator_z
     for seed in SEEDS:
         key, subk = random.split(random.PRNGKey(seed))
         data, gm, _ = make_linear_gaussian_equivalent_model(
             key=subk, n_vars=12, graph_prior_str="er")
         dibs = MarginalDiBS(x=data.x, graph_model=gm,
-                            likelihood_model=BGe(n_vars=12),
-                            **_marginal_kwargs())
+                            likelihood_model=BGe(n_vars=12), **kw)
         gs = dibs.sample(key=key, n_particles=12, steps=800)
         n_gt = max(n_gt, int(data.g.sum()))
         e_sh, e_au = metrics(dibs.get_empirical(gs), data.g)
@@ -163,7 +182,7 @@ def floors(name, rows, n_gt):
               f"eshd={_median(rows, 'mix_eshd'):.1f} "
               f"(<{int(1.5 * n_gt)})  [{len(rows)} seeds]")
     else:
-        check("marginal_bge/floors",
+        check(f"{name}/floors",
               _median(rows, "emp_auroc") > 0.55
               and _median(rows, "mix_auroc") > 0.55
               and _median(rows, "emp_eshd") < 2.0 * n_gt,
@@ -206,10 +225,53 @@ def golden_compare(name, rows, golden):
         check(f"golden/{name}/{metric_key}", ok, detail)
 
 
-def record_golden():
+def run_marginal_bge_d128():
+    """cfg6-shaped gate row (VERDICT r4 item 3b): marginal BGe at d=128
+    through the lane-batched determinant-pair kernel — the reference's
+    hardest numeric path at production d. Reduced batch (P=20, M=16,
+    400 steps, 3 seeds) so the row costs ~2 min on TPU; it guards the
+    d=128 kernel tier + large-d marginal engine end-to-end, which the
+    d=12 rows never touch. N=512 observations (N=100 underdetermines
+    d=128)."""
+    rows = []
+    n_gt = 0
+    kw = dict(_marginal_kwargs())
+    kw.setdefault("n_grad_mc_samples", 16)
+    for seed in SEEDS[:3]:
+        key, subk = random.split(random.PRNGKey(seed))
+        data, gm, _ = make_linear_gaussian_equivalent_model(
+            key=subk, n_vars=128, graph_prior_str="sf", n_observations=512,
+            n_ho_observations=10)
+        dibs = MarginalDiBS(x=data.x, graph_model=gm,
+                            likelihood_model=BGe(n_vars=128),
+                            n_acyclicity_mc_samples=8, **kw)
+        gs = dibs.sample(key=key, n_particles=20, steps=400)
+        n_gt = max(n_gt, int(data.g.sum()))
+        e_sh, e_au = metrics(dibs.get_empirical(gs), data.g)
+        m_sh, m_au = metrics(dibs.get_mixture(gs), data.g)
+        rows.append({"seed": seed, "emp_auroc": e_au, "emp_eshd": e_sh,
+                     "mix_auroc": m_au, "mix_eshd": m_sh})
+    return rows, n_gt
+
+
+_GOLDEN_RUNNERS = (("joint_linear", run_joint_linear),
+                   ("marginal_bge", run_marginal_bge),
+                   ("marginal_score_rb", run_marginal_score_rb),
+                   ("marginal_bge_d128", run_marginal_bge_d128))
+
+
+def record_golden(only=None):
+    """Runs the reduced protocol and stores golden medians. ``only``
+    restricts to a subset of config names, MERGING into the existing
+    golden file (so adding a new gated config does not re-baseline the
+    others)."""
     golden = {}
-    for name, runner in (("joint_linear", run_joint_linear),
-                         ("marginal_bge", run_marginal_bge)):
+    if only and os.path.exists(GOLDEN_PATH):
+        with open(GOLDEN_PATH) as f:
+            golden = json.load(f)
+    for name, runner in _GOLDEN_RUNNERS:
+        if only and name not in only:
+            continue
         rows, n_gt = runner()
         keys = ("emp_auroc", "emp_eshd", "mix_auroc", "mix_eshd")
         golden[name] = {
@@ -317,6 +379,9 @@ def main(argv=None):
     ap.add_argument("--record-golden", action="store_true",
                     help="run the reduced protocol and store the golden "
                          "medians (do this at a known-good HEAD)")
+    ap.add_argument("--golden-configs", nargs="+", default=None,
+                    help="with --record-golden: record only these configs, "
+                         "merging into the existing golden file")
     ap.add_argument("--inject", choices=sorted(k for k in _INJECT_KW if k),
                     default=None,
                     help="inject a known regression — the gate must FAIL")
@@ -327,7 +392,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.record_golden:
-        record_golden()
+        record_golden(only=args.golden_configs)
         return
 
     INJECT = args.inject
@@ -347,6 +412,14 @@ def main(argv=None):
     rows, n_gt = run_marginal_bge()
     floors("marginal_bge", rows, n_gt)
     golden_compare("marginal_bge", rows, golden)
+    rows, n_gt = run_marginal_score_rb()
+    floors("marginal_score_rb", rows, n_gt)
+    golden_compare("marginal_score_rb", rows, golden)
+    # d=128 row: golden-compare only (absolute floors are calibrated for
+    # the converged d=12 protocol; this reduced row exists to catch
+    # *regressions* in the large-d kernel tier, not to certify absolutes)
+    rows, n_gt = run_marginal_bge_d128()
+    golden_compare("marginal_bge_d128", rows, golden)
     if not args.skip_canaries:
         kernel_numerics()
         scale_robustness()
