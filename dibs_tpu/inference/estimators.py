@@ -86,7 +86,14 @@ class EstimatorConfig:
     # the K x d-step power-chain batch from the prior score entirely). Both
     # vanish exactly when the soft graph is acyclic; 'mean' swaps the MC
     # estimate of a relaxation's expectation for the relaxation at the
-    # expectation (quality + throughput study: benchmarks/CONSTRAINT_MEAN_AB)
+    # expectation. Studied (benchmarks/CONSTRAINT_MEAN_AB.json, 5 seeds,
+    # full + gate protocols): quality-neutral for marginal workflows
+    # (alpha_linear=1.0 saturates the sigmoid fast, killing the Jensen
+    # bias) at +14% step throughput (cfg1); in JOINT configs the 20x
+    # slower alpha schedule keeps the bias alive — 'mean' under-penalizes,
+    # leaves cyclic particles at convergence in most runs, and degrades
+    # the mixture (DiBS+) posterior, so use it there only when the
+    # empirical posterior is the deliverable (+47% at cfg5).
     acyclicity_constraint: str = "sampled"
 
     def alpha(self, t):
