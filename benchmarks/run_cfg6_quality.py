@@ -59,7 +59,7 @@ def _write(name, obj):
     print(json.dumps({"cell": name, **obj}), flush=True)
 
 
-def _run_one(seed, n_particles, m, det_path):
+def _run_one(seed, n_particles, m, det_path, steps=STEPS, **dibs_kw):
     from dibs_tpu.inference import MarginalDiBS
     from dibs_tpu.metrics import expected_shd, threshold_metrics
     from dibs_tpu.ops.acyclic import elwise_acyclic_constr
@@ -75,12 +75,14 @@ def _run_one(seed, n_particles, m, det_path):
             key=subk, n_vars=D, graph_prior_str="sf", n_observations=N_OBS,
             n_ho_observations=10)
         dibs = MarginalDiBS(x=data.x, graph_model=gm, likelihood_model=lm,
-                            n_grad_mc_samples=m, n_acyclicity_mc_samples=8)
+                            n_grad_mc_samples=m, n_acyclicity_mc_samples=8,
+                            **dibs_kw)
         t0 = time.perf_counter()
-        gs = dibs.sample(key=key, n_particles=n_particles, steps=STEPS)
+        gs = dibs.sample(key=key, n_particles=n_particles, steps=steps)
         wall = time.perf_counter() - t0
         h = elwise_acyclic_constr(jnp.asarray(gs), D)
-        out = {"seed": seed, "det_path": det_path, "steps": STEPS,
+        out = {"seed": seed, "det_path": det_path, "steps": steps,
+               **{f"dibs_{k}": str(v) for k, v in dibs_kw.items()},
                "n_particles": n_particles, "m": m, "n_obs": N_OBS,
                "n_gt_edges": int(data.g.sum()),
                "n_cyclic": int((h > 0).sum()), "wall_s": round(wall, 1)}
@@ -103,6 +105,30 @@ def full():
                                   det_path="kernel"))
 
 
+def full_followups():
+    """Two follow-ups to the full leg's findings:
+
+    - ``full2000_seed7``: seed 7 ended 1200 steps with ALL 100 particles
+      cyclic (the annealed beta(t) had not yet forced DAG-ness at this
+      seed's initialization). Re-run at 2000 steps to measure whether the
+      failure is a schedule-length effect (late annealing) or divergence.
+    - ``full_rb_seed*``: the same protocol under ``score_rb`` (the
+      Rao-Blackwellized estimator the repo documents as recommended for
+      marginal inference) — its per-node baselines cut REINFORCE variance
+      where it is largest (16k-edge score surface at d=128).
+    """
+    name = "full2000_seed7"
+    if not os.path.exists(_cell(name)):
+        _write(name, _run_one(7, n_particles=100, m=64,
+                              det_path="kernel", steps=2000))
+    for seed in SEEDS:
+        name = f"full_rb_seed{seed}"
+        if not os.path.exists(_cell(name)):
+            _write(name, _run_one(seed, n_particles=100, m=64,
+                                  det_path="kernel",
+                                  grad_estimator_z="score_rb"))
+
+
 def ab():
     for seed in SEEDS:
         for det_path in ("kernel", "xla"):
@@ -112,9 +138,18 @@ def ab():
                                       det_path=det_path))
 
 
-def anchor(n_steps=2):
-    """Times the actual reference at the cfg6 shape (a few steps on host
-    CPU — its per-step time at d=128 is seconds-to-minutes scale)."""
+def anchor(n_steps=2, n_particles=10):
+    """Times the actual reference at the cfg6 shape on host CPU.
+
+    Runs at a reduced particle count and extrapolates linearly to the
+    full P=100: the reference's per-step cost is vmap-linear in particles
+    (every estimator maps over the particle axis, dibs.py:321/650; the
+    only super-linear term, the [P, P] SVGD kernel over d*k*2 = 32k
+    features, is <1e-3 of the P*M*d = 819k [128, 128] slogdets at this
+    shape). Measured necessity, not convenience: at P=100 the reference's
+    d=128 trace+compile exceeded 103 GB RSS on this 125 GB / 1-core host
+    (killed before OOM); P=10 keeps the XLA CPU program tractable.
+    """
     name = "reference_anchor"
     if os.path.exists(_cell(name)):
         return
@@ -137,19 +172,23 @@ def anchor(n_steps=2):
                            n_grad_mc_samples=64,
                            n_acyclicity_mc_samples=8)
     t0 = time.perf_counter()
-    dibs.sample(key=key, n_particles=100, steps=n_steps)
+    dibs.sample(key=key, n_particles=n_particles, steps=n_steps)
     wall = time.perf_counter() - t0
     # the reference has no compile/run split in its API; charging the
     # one-off trace to these steps makes steps/s a LOWER bound on the
     # reference (i.e. our speedup column derived from it is conservative
     # in the reference's favor)
+    sps = n_steps / wall
     _write(name, {"steps": n_steps, "wall_s": round(wall, 1),
-                  "ref_steps_per_sec_lower_bound": n_steps / wall,
-                  "n_particles": 100, "m": 64, "device": "cpu",
+                  "n_particles": n_particles, "m": 64, "device": "cpu",
+                  "ref_steps_per_sec_lower_bound_at_p": sps,
+                  "ref_steps_per_sec_lower_bound_p100_extrapolated":
+                      sps * n_particles / 100.0,
                   "note": "wall includes the reference's one-off jit "
-                          "trace; steps/s is a lower bound for the "
-                          "reference (speedups computed from it are "
-                          "conservative)"})
+                          "trace (lower bound, conservative in the "
+                          "reference's favor); P=100 column is the "
+                          "linear-in-particles extrapolation from "
+                          f"P={n_particles} (see docstring)"})
 
 
 def _med(rows, k):
@@ -174,6 +213,18 @@ def aggregate():
             "n_cyclic": [r["n_cyclic"] for r in full_rows],
             "rows": full_rows,
         }
+    rb_rows = [cells[f"full_rb_seed{s}"] for s in SEEDS
+               if f"full_rb_seed{s}" in cells]
+    if rb_rows:
+        out["full_score_rb_arm"] = {
+            "median": {k: round(_med(rb_rows, k), 3) for k in
+                       ("empirical_eshd", "empirical_auroc", "mixture_eshd",
+                        "mixture_auroc")},
+            "n_cyclic": [r["n_cyclic"] for r in rb_rows],
+            "rows": rb_rows,
+        }
+    if "full2000_seed7" in cells:
+        out["full2000_seed7"] = cells["full2000_seed7"]
     for arm in ("kernel", "xla"):
         rows = [cells[f"ab_{arm}_seed{s}"] for s in SEEDS
                 if f"ab_{arm}_seed{s}" in cells]
@@ -194,12 +245,15 @@ def aggregate():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true")
+    ap.add_argument("--full-followups", action="store_true")
     ap.add_argument("--ab", action="store_true")
     ap.add_argument("--anchor", action="store_true")
     ap.add_argument("--aggregate", action="store_true")
     args = ap.parse_args()
     if args.full:
         full()
+    if args.full_followups:
+        full_followups()
     if args.ab:
         ab()
     if args.anchor:
