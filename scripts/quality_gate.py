@@ -229,10 +229,15 @@ def run_marginal_bge_d128():
     """cfg6-shaped gate row (VERDICT r4 item 3b): marginal BGe at d=128
     through the lane-batched determinant-pair kernel — the reference's
     hardest numeric path at production d. Reduced batch (P=20, M=16,
-    400 steps, 3 seeds) so the row costs ~2 min on TPU; it guards the
-    d=128 kernel tier + large-d marginal engine end-to-end, which the
-    d=12 rows never touch. N=512 observations (N=100 underdetermines
-    d=128)."""
+    3 seeds) at 1200 steps: shorter runs end with every particle still
+    cyclic at d=128 (the beta anneal has not bitten), pinning all
+    metrics to the d(d-1)/2 fallback — a golden that cannot move and
+    therefore guards nothing. At 1200 steps all seeds end cyclic-free
+    (measured, benchmarks/cfg6_quality/ab_kernel_*) and the medians are
+    live. Costs ~3 min on TPU with the persistent compile cache; guards
+    the d=128 kernel tier + large-d marginal engine end-to-end, which
+    the d=12 rows never touch. N=512 observations (N=100
+    underdetermines d=128)."""
     rows = []
     n_gt = 0
     kw = dict(_marginal_kwargs())
@@ -245,7 +250,7 @@ def run_marginal_bge_d128():
         dibs = MarginalDiBS(x=data.x, graph_model=gm,
                             likelihood_model=BGe(n_vars=128),
                             n_acyclicity_mc_samples=8, **kw)
-        gs = dibs.sample(key=key, n_particles=20, steps=400)
+        gs = dibs.sample(key=key, n_particles=20, steps=1200)
         n_gt = max(n_gt, int(data.g.sum()))
         e_sh, e_au = metrics(dibs.get_empirical(gs), data.g)
         m_sh, m_au = metrics(dibs.get_mixture(gs), data.g)
