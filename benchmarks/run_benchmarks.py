@@ -265,14 +265,21 @@ def main():
 
     results = []
     for idx in args.configs:
-        res = CONFIGS[idx](args.quality)
+        # the tunneled remote-compile service occasionally drops a
+        # connection (JaxRuntimeError INTERNAL); don't lose the sweep —
+        # record the failure, keep going, write incrementally
+        try:
+            res = CONFIGS[idx](args.quality)
+        except Exception as e:
+            res = {"config": idx, "error": f"{type(e).__name__}: {e}"[:300]}
+            print(json.dumps(res), flush=True)
+            continue
         res["device"] = str(jax.devices()[0])
         print(json.dumps(res), flush=True)
         results.append(res)
-
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=2)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
 
 
 
