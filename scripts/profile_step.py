@@ -57,6 +57,15 @@ def chain_time(fn, arg, n=20):
     return (time.perf_counter() - t0) / n
 
 
+def chain_overhead(arg, n=20):
+    """Per-step overhead of the chain harness itself: a chained no-op
+    costs one dispatch + one scalar device_get (≈ a tunnel round trip)
+    for the whole chain, i.e. RTT/n per step. On a healthy tunnel this is
+    ~0.1 ms/20 ≈ 5 µs; in degraded phases it can reach ms-scale and
+    silently dominate sub-ms phases — measure it and subtract."""
+    return chain_time(lambda a: a + 1e-30, arg, n=n)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=int, default=1)
@@ -109,13 +118,20 @@ def main():
 
     phase_ms = {}
 
+    # --- harness overhead calibration ---
+    over_ms = chain_overhead(z, n=n_chain) * 1e3
+    print(f"chain-harness overhead (subtracted below): {over_ms:8.3f} ms/step")
+
+    def corrected(ms):
+        return max(ms * 1e3 - over_ms, 0.0)
+
     # --- sampling ---
     def samp(z_):
         g_all = sample_hard_graphs(edge_scores(z_), keys[0], alpha,
                                    cfg.n_grad_mc_samples)
         return z_ + g_all.mean() * 1e-20
     ms = chain_time(samp, z, n=n_chain)
-    print(f"hard sampling (pallas/xla auto): {ms*1e3:8.3f} ms")
+    print(f"hard sampling (pallas/xla auto): {corrected(ms):8.3f} ms")
 
     # --- likelihood scoring of the sampled batch ---
     gs = sample_hard_graphs(edge_scores(z), keys[0], alpha,
@@ -123,11 +139,14 @@ def main():
     gs = jax.block_until_ready(gs)
 
     if args.config == 1:
+        # route through the same batched scorer the estimator uses (the
+        # naive per-graph vmap falls back to masked slogdets and reads
+        # ~50x the in-step cost — it is NOT what the hot loop runs)
         def score_batch(g_all):
-            lp = jax.vmap(jax.vmap(
-                lambda g: dibs.log_joint_prob(g, None, dibs.x,
-                                              dibs.interv_mask, None)
-            ))(g_all)
+            p_, m_ = g_all.shape[:2]
+            lp = dibs.likelihood_model.batched_node_log_marginal_likelihoods(
+                gs=g_all.reshape(p_ * m_, d, d), x=dibs.x,
+                interv_targets=dibs.interv_mask)
             # feed back a dependency so the chain is sequential
             return g_all + lp.mean() * 1e-20
     else:
@@ -141,7 +160,7 @@ def main():
             )(g_all, theta)
             return g_all + lp.mean() * 1e-20
     ms = chain_time(score_batch, gs, n=n_chain)
-    print(f"likelihood scoring [P,M] batch:  {ms*1e3:8.3f} ms")
+    print(f"likelihood scoring [P,M] batch:  {corrected(ms):8.3f} ms")
 
     # --- full Z-likelihood estimator ---
     def zlik(z_):
@@ -149,7 +168,7 @@ def main():
             z_, theta, state.sf_baseline, t, keys)
         return z_ + dz * 1e-20
     ms = chain_time(zlik, z, n=n_chain)
-    print(f"Z-likelihood estimator:          {ms*1e3:8.3f} ms")
+    print(f"Z-likelihood estimator:          {corrected(ms):8.3f} ms")
 
     if theta is not None:
         def tlik(z_):
@@ -160,10 +179,10 @@ def main():
             leaf = jax.tree_util.tree_leaves(dth)[0]
             return z_ + leaf.mean() * 1e-20
         ms = chain_time(tlik, z, n=n_chain)
-        print(f"theta estimator (or fused both): {ms*1e3:8.3f} ms")
+        print(f"theta estimator (or fused both): {corrected(ms):8.3f} ms")
         if est.fused_grad_both is not None:
             phase_ms["fused_kernel"] = (
-                ms * 1e3,
+                corrected(ms),
                 ("fused_forward", "fused_backward", "sampling_in_kernel"),
             )
 
@@ -173,8 +192,8 @@ def main():
             z_, keys, t, dibs._resolve_latent_std(z.shape[2]))
         return z_ + dz * 1e-20
     ms = chain_time(prior, z, n=n_chain)
-    print(f"prior + acyclicity score:        {ms*1e3:8.3f} ms")
-    phase_ms["prior_acyclicity"] = (ms * 1e3, ("acyclicity_prior",))
+    print(f"prior + acyclicity score:        {corrected(ms):8.3f} ms")
+    phase_ms["prior_acyclicity"] = (corrected(ms), ("acyclicity_prior",))
 
     # --- transport ---
     from dibs_tpu.inference.transport import joint_transport, marginal_transport
@@ -187,14 +206,15 @@ def main():
             phi_z, _ = joint_transport(dibs.kernel, z_, theta, z_, theta)
             return z_ + phi_z * 1e-20
     ms = chain_time(trans, z, n=n_chain)
-    print(f"kernel matrix + transport:       {ms*1e3:8.3f} ms")
-    phase_ms["transport"] = (ms * 1e3, ("kernel_transport",))
+    print(f"kernel matrix + transport:       {corrected(ms):8.3f} ms")
+    phase_ms["transport"] = (corrected(ms), ("kernel_transport",))
 
     # --- full step ---
     step = dibs._make_step(dibs._resolve_latent_std(z.shape[2]))
     ms = chain_time(step, state, n=n_chain)
-    print(f"FULL STEP:                       {ms*1e3:8.3f} ms "
-          f"({1e3/ (ms*1e3):.1f} steps/s)")
+    step_ms = corrected(ms)
+    print(f"FULL STEP:                       {step_ms:8.3f} ms "
+          f"({1e3 / step_ms:.1f} steps/s)")
 
     # --- roofline accounting (VERDICT r2 item 1) ---
     from dibs_tpu.accounting import (
@@ -215,7 +235,7 @@ def main():
         cost = nonlinear_step_cost(d=d, n_obs=dibs.x.shape[0],
                                    p=n_particles, m=cfg.n_grad_mc_samples,
                                    kmc=cfg.n_acyclicity_mc_samples)
-    row = cost.total_row(ms)
+    row = cost.total_row(step_ms / 1e3)
     print(f"model: {cost.flops/1e9:.2f} GFLOP/step, "
           f"{cost.bytes_min/1e6:.0f} MB/step compulsory, "
           f"{cost.transcendentals/1e6:.0f}M transcendentals")
