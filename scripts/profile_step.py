@@ -252,11 +252,19 @@ def main():
     # pays per-call dispatch the fori_loop step amortizes — treat the
     # pct-of-ceiling as a lower bound at small configs; at config 5 the
     # phases are ms-scale and the chain overhead is a small fraction.
+    # the RTT subtraction carries call-to-call variance of the same order
+    # as the RTT itself (tunnel stalls); phases whose corrected time is
+    # below that noise floor would divide to absurd TF/s — drop them and
+    # defer to the in-step toggle attribution (benchmarks/
+    # run_phase_toggle.py), which is dispatch-immune by construction
+    noise_floor_ms = max(0.05, 0.15 * over_ms)
+    phase_ms = {k: v for k, v in phase_ms.items() if v[0] > noise_floor_ms}
     if phase_ms:
         from dibs_tpu.accounting import phase_roofline
 
         print("\nper-phase roofline (achieved vs the phase's own "
-              "precision/shape ceiling):")
+              "precision/shape ceiling; phases under the "
+              f"{noise_floor_ms:.2f} ms harness noise floor omitted):")
         for row in phase_roofline(cost, phase_ms, d=d):
             print(f"  {row['phase']:<18} {row['ms']:8.3f} ms "
                   f"{row['gflop']:9.2f} GF  {row['achieved_tfs']:7.2f} TF/s "
